@@ -1,0 +1,210 @@
+"""Shared numpy tag core: encode -> score -> decode, one implementation.
+
+This module is the single source of truth for the NER-stage semantics.
+Both the serial oracle (``arabicner_spark.oracle``) and the distributed
+Spark stage (``arabicner_spark.operators.ner``) import these functions
+verbatim, so Spark-vs-oracle parity is exact by construction; the pytest
+suite then perturbs the gazetteer to exercise the P/R >= 0.95 threshold
+logic rather than only 1.0.
+
+Reference semantics reproduced here (file:line cites into
+/root/reference):
+
+* subword encoding, tag on FIRST subword, O on continuations:
+  arabiner/data/transforms.py:33-35 (flat) and :91-99 (nested).  The
+  real tokenizer is WordPiece; since AraBERT weights are LFS-stubbed in
+  the reference checkout and `transformers` is not available here, the
+  stand-in encoder deterministically chunks a token into <=4-char
+  pieces — same alignment/truncation *shape*, pluggable if real weights
+  appear.
+* truncation to max_seq_len-2 subwords (default 512), tokens beyond
+  silently lose their tags: arabiner/data/transforms.py:101-107.  We
+  keep the surplus tokens as forced-"O" so per-turn text equality holds
+  (north-rule invariant), and report the truncation in lineage.
+* one BIO head per entity type, types in sorted order, labels
+  [B-X, I-X, O] with O last: arabiner/utils/data.py:82-93.
+* model emits logits B x T x L x C: arabiner/nn/BertNestedTagger.py:27-33.
+* decode = argmax over C (dim=3), NO transition repair:
+  arabiner/trainers/BertNestedTrainer.py:155,172.
+* realignment: keep only first-subword positions (the reference drops
+  UNK continuation placeholders, arabiner/trainers/BertNestedTrainer.py:
+  193-198); here we keep an explicit first-subword index instead of the
+  filtering dance — same result, vectorizable.
+* span extraction: seqeval IOB2-strict (span starts at B- only; stray
+  I- does not open a span): arabiner/utils/metrics.py:16-46.
+
+The scorer stand-in is a deterministic gazetteer matcher that emits the
+same B x T x L x C logit tensor a BertNestedTagger would, so the decode
+path downstream is identical whichever scorer produced the logits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+# label ids within each per-type BIO head; O appended last, mirroring
+# arabiner/utils/data.py:89-91.
+B_ID, I_ID, O_ID = 0, 1, 2
+N_LABELS = 3
+
+# stand-in subword chunk width (chars per subword piece)
+SUBWORD_CHARS = 4
+DEFAULT_MAX_SEQ_LEN = 512
+
+# deterministic logit magnitudes: O baseline everywhere, matched B/I
+# positions get a clear margin.
+_LOGIT_BASE = 4.0
+_LOGIT_HIT = 8.0
+
+# A gazetteer is {type_name: set of phrase tuples of normalized tokens}.
+Gazetteer = Dict[str, set]
+
+
+def gazetteer_types(gaz: Gazetteer) -> List[str]:
+    """Level order = sorted type names (arabiner/utils/data.py:86)."""
+    return sorted(gaz)
+
+
+def subword_lengths(tokens: Sequence[str]) -> np.ndarray:
+    """Stand-in encoder: ceil(len/SUBWORD_CHARS) pieces, min 1.
+
+    The min-1 mirrors the reference's [UNK] fallback for tokens the
+    tokenizer fails to encode (arabiner/data/transforms.py:30).
+    """
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    return np.maximum(1, -(-lens // SUBWORD_CHARS))
+
+
+def encode_tokens(
+    tokens: Sequence[str], max_seq_len: int = DEFAULT_MAX_SEQ_LEN
+) -> Tuple[np.ndarray, int, int]:
+    """Return (first_subword_idx, n_subwords_kept, n_taggable_tokens).
+
+    ``first_subword_idx[i]`` is the 0-based position of token i's first
+    subword inside the (pre-CLS/SEP) subword sequence.  A token is
+    *taggable* iff its first subword survives truncation to
+    ``max_seq_len - 2`` pieces — exactly which tags survive the
+    reference's list slicing at arabiner/data/transforms.py:101-107.
+    """
+    sub_lens = subword_lengths(tokens)
+    ends = np.cumsum(sub_lens)
+    first_idx = ends - sub_lens
+    budget = max_seq_len - 2
+    n_taggable = int(np.searchsorted(first_idx, budget, side="left"))
+    n_subwords = int(min(ends[-1] if len(tokens) else 0, budget))
+    return first_idx, n_subwords, n_taggable
+
+
+def greedy_match(
+    norm_tokens: Sequence[str], phrases: set, max_phrase_len: int
+) -> List[Tuple[int, int]]:
+    """Greedy left-to-right longest-match of gazetteer phrases.
+
+    Within one type head, matched spans never overlap (the head can
+    only express one BIO segmentation), mirroring the reference's
+    "we do not have overlapping of same type" rule
+    (arabiner/data/transforms.py:91-95).  Nesting arises across heads.
+    """
+    spans: List[Tuple[int, int]] = []
+    n = len(norm_tokens)
+    i = 0
+    while i < n:
+        hit = 0
+        for k in range(min(max_phrase_len, n - i), 0, -1):
+            if tuple(norm_tokens[i : i + k]) in phrases:
+                spans.append((i, i + k))
+                hit = k
+                break
+        i += hit or 1
+    return spans
+
+
+def score_turn(
+    norm_tokens: Sequence[str],
+    gaz: Gazetteer,
+    types: Sequence[str],
+    max_seq_len: int = DEFAULT_MAX_SEQ_LEN,
+) -> np.ndarray:
+    """Deterministic gazetteer scorer: logits of shape (T, L, 3).
+
+    T = n_subwords_kept + 2 (CLS/SEP framing, O everywhere there),
+    L = len(types), C = 3 — the same shape BertNestedTagger.forward
+    emits (arabiner/nn/BertNestedTagger.py:27-33), so decode is shared
+    between the stand-in and any real model.
+    Non-O mass only ever lands on FIRST subwords, mirroring label
+    construction (arabiner/data/transforms.py:91-99).
+    """
+    first_idx, n_subwords, n_taggable = encode_tokens(norm_tokens, max_seq_len)
+    T = n_subwords + 2
+    logits = np.zeros((T, len(types), N_LABELS), dtype=np.float32)
+    logits[:, :, O_ID] = _LOGIT_BASE
+    max_len = {t: max((len(p) for p in gaz.get(t, ())), default=0) for t in types}
+    visible = list(norm_tokens[:n_taggable])
+    for lvl, typ in enumerate(types):
+        if not max_len[typ]:
+            continue
+        for start, end in greedy_match(visible, gaz[typ], max_len[typ]):
+            # +1 offsets past CLS
+            logits[first_idx[start] + 1, lvl, B_ID] = _LOGIT_HIT
+            for tok in range(start + 1, end):
+                logits[first_idx[tok] + 1, lvl, I_ID] = _LOGIT_HIT
+    return logits
+
+
+def decode_turn(
+    logits: np.ndarray,
+    first_subword_idx: np.ndarray,
+    n_taggable: int,
+    types: Sequence[str],
+) -> List[Tuple[int, str, int, int]]:
+    """argmax decode + first-subword realignment + IOB2-strict spans.
+
+    Returns [(level, type, start_tok, end_tok_exclusive), ...].
+    ``logits`` is one turn's (T, L, 3) slice (CLS/SEP framed).
+    """
+    label_ids = np.argmax(logits, axis=-1)  # (T, L)
+    if n_taggable == 0:
+        return []
+    tok_ids = label_ids[first_subword_idx[:n_taggable] + 1]  # (n_tok, L)
+    out: List[Tuple[int, str, int, int]] = []
+    for lvl in range(tok_ids.shape[1]):
+        col = tok_ids[:, lvl]
+        start = -1
+        for pos, lab in enumerate(col):
+            if lab == B_ID:
+                if start >= 0:
+                    out.append((lvl, types[lvl], start, pos))
+                start = pos
+            elif lab == I_ID:
+                # IOB2-strict: I- continues an open span only; a stray
+                # I- (after O or at sequence start) opens nothing.
+                pass
+            else:  # O
+                if start >= 0:
+                    out.append((lvl, types[lvl], start, pos))
+                    start = -1
+        if start >= 0:
+            out.append((lvl, types[lvl], start, len(col)))
+    return out
+
+
+def mentions_for_turn(
+    tokens: Sequence[str],
+    norm_tokens: Sequence[str],
+    gaz: Gazetteer,
+    types: Sequence[str],
+    max_seq_len: int = DEFAULT_MAX_SEQ_LEN,
+) -> List[Tuple[int, str, int, int, str]]:
+    """Full per-turn path: encode -> score -> decode -> surface text.
+
+    Returns [(level, type, start_tok, end_tok, text)], where text is the
+    ORIGINAL (un-normalized) tokens joined by single spaces.
+    """
+    first_idx, _, n_taggable = encode_tokens(norm_tokens, max_seq_len)
+    logits = score_turn(norm_tokens, gaz, types, max_seq_len)
+    spans = decode_turn(logits, first_idx, n_taggable, types)
+    return [
+        (lvl, typ, s, e, " ".join(tokens[s:e])) for (lvl, typ, s, e) in spans
+    ]

@@ -1,0 +1,119 @@
+"""Distributed NER stage: the reference's operators #8-#16 fused into
+one ``mapInPandas`` pass (SURVEY.md section 2.A), Arrow batch = collate
+batch.
+
+Reference path reproduced: subword encode + first-subword tag alignment
+(arabiner/data/transforms.py:23-52), truncation (:101-107), batched
+B x T x L x C scoring (arabiner/nn/BertNestedTagger.py:27-33), argmax
+decode (arabiner/trainers/BertNestedTrainer.py:172), first-subword
+realignment + span extraction (:179-203, arabiner/utils/metrics.py).
+All per-turn semantics live in ``functions.tagcore`` and are shared
+verbatim with the serial oracle.
+
+Scale design:
+  * column pruning BEFORE the Python stage — only (conv_id, turn_idx,
+    text) crosses the Arrow boundary;
+  * skew: a hot conversation must not land in a single Arrow batch, so
+    the stage input is repartitioned by (conv_id, turn_idx mod SALT) —
+    per-turn scoring needs no conversation locality (AQE cannot fix UDF-
+    stage skew, only join/agg skew);
+  * the gazetteer/weights are broadcast once per executor, not shipped
+    per task closure;
+  * batched argmax over the padded (B, T, L, C) tensor — the Arrow batch
+    is the vectorization unit, mirroring the reference's collate
+    (arabiner/data/datasets.py:128-150) with pad-to-batch-max
+    (dynamic padding, not global max).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arabicner_spark import schemas
+from arabicner_spark.functions import tagcore
+from arabicner_spark.functions.normalize import normalize_py
+
+TURN_SALT = 16  # spreads one hot conv over up to 16 tasks
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    gazetteer: Dict[str, set],
+    max_seq_len: int = tagcore.DEFAULT_MAX_SEQ_LEN,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """transcripts -> mentions (schemas.MENTIONS).
+
+    ``gazetteer`` is the normalized {type: {phrase tuples}} dict (small;
+    broadcast).  ``salt_partitions`` explicitly repartitions the UDF
+    input by (conv_id, turn_idx % TURN_SALT) to break conversation skew;
+    leave None to keep upstream partitioning (tests, tiny inputs).
+    """
+    spark = transcripts.sparkSession
+    types = tagcore.gazetteer_types(gazetteer)
+    bc = spark.sparkContext.broadcast((gazetteer, types, max_seq_len))
+
+    pruned = transcripts.select("conv_id", "turn_idx", "text")
+    if salt_partitions:
+        pruned = pruned.repartition(
+            salt_partitions, "conv_id", F.pmod("turn_idx", F.lit(TURN_SALT))
+        )
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz, typs, msl = bc.value
+        n_levels = len(typs)
+        for pdf in batches:
+            texts = pdf["text"].fillna("").tolist()
+            toks = [t.split() for t in texts]
+            norm = [[normalize_py(w) for w in ts] for ts in toks]
+            enc = [tagcore.encode_tokens(n, msl) for n in norm]
+            logits = [tagcore.score_turn(n, gaz, typs, msl) for n in norm]
+            # collate: pad to batch max T (O stays argmax in padding
+            # because score_turn's baseline puts all mass on O and
+            # np.zeros padding ties break toward B... so pad with an
+            # explicit O-hot frame instead).
+            T = max((lg.shape[0] for lg in logits), default=0)
+            batch = np.zeros((len(logits), T, n_levels, tagcore.N_LABELS), np.float32)
+            batch[:, :, :, tagcore.O_ID] = 1.0
+            for i, lg in enumerate(logits):
+                batch[i, : lg.shape[0]] = lg
+            ids = np.argmax(batch, axis=-1)  # (B, T, L)
+            out = {k: [] for k in schemas.MENTIONS.fieldNames()}
+            for i, (first_idx, _, n_tag) in enumerate(enc):
+                spans = tagcore.decode_turn(
+                    # decode_turn argmaxes again; hand it the one-turn
+                    # slice as logits via identity trick: rebuild a
+                    # minimal one-hot from ids to keep one code path.
+                    _onehot(ids[i]), first_idx, n_tag, typs
+                )
+                for lvl, typ, s, e in spans:
+                    out["conv_id"].append(pdf["conv_id"].iloc[i])
+                    out["turn_idx"].append(pdf["turn_idx"].iloc[i])
+                    out["level"].append(lvl)
+                    out["type"].append(typ)
+                    out["start_tok"].append(s)
+                    out["end_tok"].append(e)
+                    out["text"].append(" ".join(toks[i][s:e]))
+            yield pd.DataFrame(out).astype(
+                {
+                    "turn_idx": "int32",
+                    "level": "int32",
+                    "start_tok": "int32",
+                    "end_tok": "int32",
+                }
+            )
+
+    return pruned.mapInPandas(score_batches, schema=schemas.MENTIONS)
+
+
+def _onehot(ids: np.ndarray) -> np.ndarray:
+    """(T, L) label ids -> (T, L, C) one-hot so decode_turn's argmax
+    recovers exactly these ids (keeps decode single-sourced)."""
+    out = np.zeros(ids.shape + (tagcore.N_LABELS,), np.float32)
+    np.put_along_axis(out, ids[..., None], 1.0, axis=-1)
+    return out
