@@ -1,0 +1,142 @@
+"""Portable, deterministic hashing primitives.
+
+Every hash here is built from ``md5`` over UTF-8 bytes so the exact
+same value is computable in Spark SQL (``md5(encode(col,'utf-8'))``),
+DuckDB (``md5(col)``) and Python (``hashlib.md5``) — which is what lets
+MinHash-LSH blocking, SimHash, and fingerprint sketches have *exact*
+SQL oracles instead of weaker rows-only checks.  MinHash uses the
+lexicographic min of seeded md5 hex digests: hex strings order the same
+everywhere, no integer conversion needed.
+
+xxhash64/crc32 are deliberately avoided in anything oracle-checked
+(engine-specific); they may appear only in internal salting.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_utf8(col: Column) -> Column:
+    """md5 hex of the UTF-8 bytes — equals DuckDB's md5(varchar)."""
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def seeded_md5(col: Column, seed: int) -> Column:
+    """Independent-ish hash family member: md5(seed || '|' || value)."""
+    return md5_utf8(F.concat(F.lit(f"{seed}|"), col))
+
+
+def word_shingles(df: DataFrame, id_cols: List[str], text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per id.
+
+    Built with posexplode + lead windows (no self-join): one shuffle on
+    the window key, which is the id itself — partitions evenly at any
+    scale because shingling is per-row work.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        *id_cols, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy(*id_cols).orderBy("pos")
+    for i in range(1, n):
+        tok = tok.withColumn(f"w{i}", F.lead("w", i).over(w))
+    parts = [F.col("w")] + [F.col(f"w{i}") for i in range(1, n)]
+    return (
+        tok.where(F.col(f"w{n - 1}").isNotNull())
+        .select(*id_cols, F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+def char_shingles(df: DataFrame, id_cols: List[str], text_col: str, n: int = 3) -> DataFrame:
+    """Distinct char n-gram shingles per id (for short surface forms).
+
+    Texts shorter than n yield the whole text as its single shingle, so
+    every id gets at least one shingle.
+    """
+    padded = df.select(*id_cols, F.col(text_col).alias("t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("t") - (n - 1), F.lit(1)))
+    return (
+        padded.select(*id_cols, F.col("t"), F.explode(idx).alias("i"))
+        .select(*id_cols, F.substring(F.col("t"), F.col("i"), n).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_cols: List[str],
+    n_hashes: int = 16,
+) -> DataFrame:
+    """id -> [h0..h{n-1}] minhash columns, ONE aggregation pass.
+
+    min over md5(seed|shingle) per seed — a single hash-aggregate with
+    map-side partial mins, so the shuffle carries one row per id.
+    """
+    aggs = [
+        F.min(seeded_md5(F.col("shingle"), s)).alias(f"h{s}") for s in range(n_hashes)
+    ]
+    return shingles.groupBy(*id_cols).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_cols: List[str],
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banded signatures: (id, band, sig) — join key for candidate pairs."""
+    band_cols = []
+    for b in range(bands):
+        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("#", *hs).alias("sig")))
+    return signatures.select(
+        *id_cols, F.explode(F.array(*band_cols)).alias("bs")
+    ).select(*id_cols, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str
+) -> DataFrame:
+    """Self-join on (band, sig): distinct (a, b) with a < b.
+
+    The shuffle key (band, sig) is high-cardinality; genuinely hot
+    buckets (many near-identical texts) are exactly the pairs we want,
+    and AQE skew-join splitting handles pathological buckets.
+    """
+    a = bands_df.select(F.col(id_col).alias("a"), "band", "sig")
+    b = bands_df.select(F.col(id_col).alias("b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash32(df: DataFrame, id_cols: List[str], token_col: str) -> DataFrame:
+    """32-bit SimHash per id from exploded tokens.
+
+    Bit j of md5(token) votes +1/-1; the sign of the per-bit sum forms
+    the fingerprint.  Bits come from hex nibbles (instr over
+    '0123456789abcdef'), which is portable to DuckDB verbatim.
+    One groupBy — map-side combinable sums.
+    """
+    h = md5_utf8(F.col(token_col))
+    bit_sums = []
+    for j in range(32):
+        nibble = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+        # (nibble >> (j%4)) & 1, written as floor-div/mod so the SQL
+        # oracle (instr-based nibble, same arithmetic) matches exactly
+        bit = F.pmod(F.floor(nibble / F.lit(2 ** (j % 4))), F.lit(2))
+        bit_sums.append(F.sum(bit * 2 - 1).cast("bigint").alias(f"b{j}"))
+    sums = df.groupBy(*id_cols).agg(*bit_sums)
+    acc = F.lit(0).cast("bigint")
+    for j in range(32):
+        acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(0)
+    return sums.select(*id_cols, acc.alias("simhash"))

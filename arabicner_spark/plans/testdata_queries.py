@@ -1,0 +1,904 @@
+"""Driver-contract query battery over /root/testdata parquet tables.
+
+Each entry pairs a Spark DataFrame implementation (the REAL pipeline
+operators where applicable — extract_mentions / extract_triples /
+link_surfaces / connected_components run inside several of these) with
+an ANSI-SQL oracle DuckDB can execute on the same tables.  Column
+names, types, and value precision are aligned on both sides (explicit
+casts, round() on floats, md5-based hashing) so the driver's
+row-count + schema + order-insensitive value-hash comparison is exact.
+
+The KG family derives a transcript table of the BASELINE.json
+input_hint shape deterministically from ``documents`` so both engines
+see the same input.  The testdata gazetteer is constructed so that,
+within any one type, phrase word-sets are disjoint and no phrase chains
+into another — under that property the reference-faithful greedy BIO
+path (kg_mentions_bio) provably emits exactly the all-occurrences
+n-gram match set, which IS expressible in SQL; that gives the
+mapInPandas NER stage a full-strength SQL oracle instead of a weaker
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arabicner_spark.functions import hashing
+from arabicner_spark.operators import ner, triples as triples_op
+from arabicner_spark.operators.components import connected_components
+from arabicner_spark.operators.linking import best_alias
+
+# ------------------------------------------------------------------ fixtures
+
+N_CONVS = 50
+EPOCH0 = 1767225600  # 2026-01-01T00:00:00Z
+
+# (phrase, type, len); per type: word-disjoint, no cross-phrase chaining
+GAZ = [
+    ("customer", "ACTOR", 1),
+    ("spark", "ENGINE", 1),
+    ("join", "KEYW", 1),
+    ("scan", "KEYW", 1),
+    ("sort", "KEYW", 1),
+    ("filter", "KEYW", 1),
+    ("row", "OBJ", 1),
+    ("column", "OBJ", 1),
+    ("batch", "OBJ", 1),
+    ("vector", "OBJ", 1),
+    ("hash join", "OPER", 2),
+    ("table scan", "OPER", 2),
+    ("merge sort", "OPER", 2),
+]
+TYPES = sorted({t for _, t, _ in GAZ})  # ACTOR ENGINE KEYW OBJ OPER
+
+PREDS_TD = [
+    ("ENGINE", "runs", "OPER"),
+    ("OPER", "reads", "OBJ"),
+    ("ACTOR", "requests", "KEYW"),
+    ("ENGINE", "serves", "ACTOR"),
+]
+WINDOW_TD = 6
+
+# alias dictionary: each phrase -> entity; 'spark' also ambiguously
+# maps to a low-weight decoy that the tie-break must reject.
+ALIAS_TD = [
+    (phrase, f"E{i:04d}", typ, 1.0) for i, (phrase, typ, _) in enumerate(GAZ)
+] + [("spark", "E9999", "MISC", 0.2)]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> transcript table of the input_hint shape."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("conv_"), F.lpad((F.col("doc_id") % N_CONVS).cast("string"), 4, "0")
+        ).alias("conv_id"),
+        (F.col("doc_id") / N_CONVS).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 2, "search").otherwise(F.lit(None)).alias("tool"),
+        F.timestamp_seconds(F.lit(EPOCH0) + F.col("doc_id") * 60).alias("ts"),
+    )
+
+
+def gazetteer_dict_td() -> Dict[str, set]:
+    out: Dict[str, set] = {}
+    for phrase, typ, _ in GAZ:
+        out.setdefault(typ, set()).add(tuple(phrase.split()))
+    return out
+
+
+def gaz_df(spark: SparkSession) -> DataFrame:
+    rows = [(p, t, TYPES.index(t), n) for p, t, n in GAZ]
+    return spark.createDataFrame(rows, "phrase string, type string, level int, len int")
+
+
+def alias_df_td(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ALIAS_TD, "alias string, entity_id string, entity_type string, weight double"
+    )
+
+
+# ------------------------------------------------------------ SQL fragments
+
+_SQL_T = f"""
+t AS (
+  SELECT 'conv_' || lpad(CAST(doc_id % {N_CONVS} AS VARCHAR), 4, '0') AS conv_id,
+         CAST(doc_id // {N_CONVS} AS INTEGER) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text,
+         CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE NULL END AS tool,
+         CAST({EPOCH0} + doc_id * 60 AS BIGINT) AS ts_epoch
+  FROM documents
+)"""
+
+_SQL_GAZ = "gaz(phrase, type, level, len) AS (VALUES " + ", ".join(
+    f"('{p}', '{t}', {TYPES.index(t)}, {n})" for p, t, n in GAZ
+) + ")"
+
+_SQL_MEN = f"""
+tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM t
+),
+tok2 AS (
+  SELECT conv_id, turn_idx, pos, w,
+         lead(w) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS w2
+  FROM tok
+),
+{_SQL_GAZ},
+men AS (
+  SELECT tok2.conv_id, tok2.turn_idx, g.level, g.type,
+         pos AS start_tok, CAST(pos + 1 AS INTEGER) AS end_tok, w AS text
+  FROM tok2 JOIN gaz g ON g.len = 1 AND g.phrase = w
+  UNION ALL
+  SELECT tok2.conv_id, tok2.turn_idx, g.level, g.type,
+         pos AS start_tok, CAST(pos + 2 AS INTEGER) AS end_tok, w || ' ' || w2 AS text
+  FROM tok2 JOIN gaz g ON g.len = 2 AND w2 IS NOT NULL AND g.phrase = w || ' ' || w2
+)"""
+
+_SQL_PREDS = "preds(subj_type, pred, obj_type) AS (VALUES " + ", ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in PREDS_TD
+) + ")"
+
+_SQL_TRI = f"""
+{_SQL_PREDS},
+tri AS (
+  SELECT DISTINCT a.text AS subj, p.pred, b.text AS obj,
+         a.conv_id, a.turn_idx, a.type AS subj_type, b.type AS obj_type
+  FROM men a
+  JOIN men b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+  JOIN preds p ON p.subj_type = a.type AND p.obj_type = b.type
+  WHERE NOT (a.level = b.level AND a.start_tok = b.start_tok AND a.end_tok = b.end_tok)
+    AND greatest(b.start_tok - a.end_tok, a.start_tok - b.end_tok) <= {WINDOW_TD}
+)"""
+
+_SQL_ALIAS = "alias_raw(alias, entity_id, entity_type, weight) AS (VALUES " + ", ".join(
+    f"('{a}', '{e}', '{t}', {w})" for a, e, t, w in ALIAS_TD
+) + """),
+alias_best AS (
+  SELECT alias, entity_id, entity_type FROM (
+    SELECT alias, entity_id, entity_type,
+           row_number() OVER (PARTITION BY alias ORDER BY weight DESC, entity_id ASC) AS rn
+    FROM alias_raw
+  ) WHERE rn = 1
+)"""
+
+
+# ------------------------------------------------------------- KG queries
+
+def q_kg_transcripts(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+SQL_KG_TRANSCRIPTS = f"WITH {_SQL_T} SELECT conv_id, turn_idx, role, text, tool, ts_epoch FROM t"
+
+
+def _mentions_ngram(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    tok = t.select(
+        "conv_id", "turn_idx", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select("conv_id", "turn_idx", F.col("pos").cast("int").alias("pos"), "w")
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
+    tok2 = tok.withColumn("w2", F.lead("w").over(w))
+    g = gaz_df(spark)
+    uni = tok2.join(
+        F.broadcast(g.where(F.col("len") == 1)), tok2["w"] == g["phrase"]
+    ).select(
+        "conv_id", "turn_idx", "level", "type",
+        F.col("pos").alias("start_tok"), (F.col("pos") + 1).cast("int").alias("end_tok"),
+        F.col("w").alias("text"),
+    )
+    bi = (
+        tok2.where(F.col("w2").isNotNull())
+        .withColumn("ng", F.concat_ws(" ", "w", "w2"))
+        .join(F.broadcast(g.where(F.col("len") == 2)), F.col("ng") == g["phrase"])
+        .select(
+            "conv_id", "turn_idx", "level", "type",
+            F.col("pos").alias("start_tok"), (F.col("pos") + 2).cast("int").alias("end_tok"),
+            F.col("ng").alias("text"),
+        )
+    )
+    return uni.unionByName(bi)
+
+
+def q_kg_mentions(spark, sf_dir):
+    return _mentions_ngram(spark, sf_dir)
+
+
+SQL_KG_MENTIONS = f"""WITH {_SQL_T}, {_SQL_MEN}
+SELECT conv_id, turn_idx, level, type, start_tok, end_tok, text FROM men"""
+
+
+def q_kg_mentions_bio(spark, sf_dir):
+    """The REAL NER stage (mapInPandas BxTxLxC argmax decode) — its
+    output provably equals the n-gram scan on this gazetteer."""
+    t = transcripts(spark, sf_dir)
+    return ner.extract_mentions(t, gazetteer_dict_td(), salt_partitions=None)
+
+
+SQL_KG_MENTIONS_BIO = SQL_KG_MENTIONS
+
+
+def q_kg_triples(spark, sf_dir):
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    return triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
+
+
+SQL_KG_TRIPLES = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}
+SELECT subj, pred, obj, conv_id, turn_idx, subj_type, obj_type FROM tri"""
+
+
+def q_kg_linked(spark, sf_dir):
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    ab = best_alias(alias_df_td(spark))
+    return (
+        m.join(F.broadcast(ab), m["text"] == ab["alias"], "left")
+        .groupBy(
+            F.col("text").alias("surface"),
+            F.coalesce("entity_id", F.concat(F.lit("S:"), "text")).alias("canonical_id"),
+        )
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+SQL_KG_LINKED = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_ALIAS}
+SELECT men.text AS surface,
+       coalesce(ab.entity_id, 'S:' || men.text) AS canonical_id,
+       count(*) AS n_mentions,
+       CAST(count(DISTINCT men.conv_id) AS BIGINT) AS n_convs
+FROM men LEFT JOIN alias_best ab ON men.text = ab.alias
+GROUP BY 1, 2"""
+
+
+def q_kg_nodes(spark, sf_dir):
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    ab = best_alias(alias_df_td(spark))
+    return (
+        m.join(F.broadcast(ab), m["text"] == ab["alias"])
+        .groupBy(F.col("entity_id").alias("node_id"), F.col("type"))
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+SQL_KG_NODES = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_ALIAS}
+SELECT ab.entity_id AS node_id, men.type, count(*) AS n_mentions
+FROM men JOIN alias_best ab ON men.text = ab.alias
+GROUP BY 1, 2"""
+
+
+def q_kg_edges(spark, sf_dir):
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    t = triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
+    ab = F.broadcast(best_alias(alias_df_td(spark)))
+    t = t.join(
+        ab.select(F.col("alias").alias("subj"), F.col("entity_id").alias("src")), "subj"
+    ).join(
+        ab.select(F.col("alias").alias("obj"), F.col("entity_id").alias("dst")), "obj"
+    )
+    return t.select("src", "pred", "dst", "conv_id", "turn_idx").distinct()
+
+
+SQL_KG_EDGES = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}, {_SQL_ALIAS}
+SELECT DISTINCT sa.entity_id AS src, tri.pred, sb.entity_id AS dst,
+       tri.conv_id, tri.turn_idx
+FROM tri JOIN alias_best sa ON tri.subj = sa.alias
+         JOIN alias_best sb ON tri.obj = sb.alias"""
+
+
+def q_kg_turn_stats(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.countDistinct("role").alias("n_roles"),
+        F.min(F.unix_timestamp("ts")).alias("first_ts"),
+        F.max(F.unix_timestamp("ts")).alias("last_ts"),
+    )
+
+
+SQL_KG_TURN_STATS = f"""WITH {_SQL_T}
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+       min(ts_epoch) AS first_ts, max(ts_epoch) AS last_ts
+FROM t GROUP BY conv_id"""
+
+
+def q_kg_components(spark, sf_dir):
+    """MinHash-LSH blocking over documents + connected components
+    (the REAL large-star/small-star operator), singletons included."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    sh = hashing.word_shingles(d, ["id"], "text", n=3)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    pairs = hashing.lsh_candidate_pairs(
+        hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
+    )
+    comp = connected_components(pairs)
+    return d.select(F.col("id").alias("node")).join(comp, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def _sql_minhash_cte(src_cte: str) -> str:
+    """Shared SQL: word-3gram shingles + 16 seeded-md5 minhashes + 8
+    bands over ``{src_cte}`` providing (id, text)."""
+    mins = ", ".join(
+        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(16)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, h{2 * b} || '#' || h{2 * b + 1} AS sig FROM hs"
+        for b in range(8)
+    )
+    return f"""
+dtok AS (
+  SELECT id, CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM {src_cte}
+),
+dsh AS (
+  SELECT DISTINCT id, w || ' ' || w1 || ' ' || w2 AS shingle
+  FROM (SELECT id, w, pos,
+               lead(w) OVER (PARTITION BY id ORDER BY pos) AS w1,
+               lead(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w2
+        FROM dtok)
+  WHERE w2 IS NOT NULL
+),
+hs AS (SELECT id, {mins} FROM dsh GROUP BY id),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+)"""
+
+
+SQL_KG_COMPONENTS = f"""WITH RECURSIVE
+docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+{_sql_minhash_cte('docsrc')},
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT id, id FROM docsrc
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node"""
+
+
+# ------------------------------------------------------------ dedup family
+
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy(hashing.md5_utf8(F.col("text")).alias("dup_group")).agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("keep_doc")
+    )
+    return g.where(F.col("group_size") > 1)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS dup_group, count(*) AS group_size, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    sh = hashing.word_shingles(d, ["id"], "text", n=3)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    pairs = hashing.lsh_candidate_pairs(
+        hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
+    )
+    return pairs.select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    )
+
+
+SQL_DEDUP_MINHASH = f"""WITH
+docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+{_sql_minhash_cte('docsrc')}
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM pairs"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """LSH candidates verified with exact word-shingle Jaccard."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    sh = hashing.word_shingles(d, ["id"], "text", n=3)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    pairs = hashing.lsh_candidate_pairs(
+        hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
+    )
+    inter = (
+        pairs.join(sh.withColumnRenamed("id", "a"), "a")
+        .join(sh.withColumnRenamed("id", "b"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+    return out
+
+
+SQL_DEDUP_JACCARD = f"""WITH
+docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+{_sql_minhash_cte('docsrc')},
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p JOIN dsh x ON x.id = p.a JOIN dsh y ON y.id = p.b AND y.shingle = x.shingle
+  GROUP BY p.a, p.b
+),
+sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id)
+SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
+       round(inter.i / (sa.sz + sb.sz - inter.i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = inter.a JOIN sizes sb ON sb.id = inter.b
+WHERE round(inter.i / (sa.sz + sb.sz - inter.i), 4) >= 0.5"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return hashing.simhash32(tok, ["doc_id"], "w")
+
+
+def _sql_simhash() -> str:
+    bit_sums = []
+    for j in range(32):
+        nib = f"(instr('0123456789abcdef', substr(md5(w), {j // 4 + 1}, 1)) - 1)"
+        bit = f"((({nib}) // {2 ** (j % 4)}) % 2)"
+        bit_sums.append(f"sum({bit} * 2 - 1) AS b{j}")
+    acc = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END" for j in range(32)
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sums AS (SELECT doc_id, {', '.join(bit_sums)} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM sums"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (round-then-threshold keeps the
+    comparison FP-portable across engines)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(dot / (na * nb), 4).alias("cos"))
+        .where(F.col("cos") >= 0.45)
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.45"""
+
+
+# ------------------------------------------------------- similarity search
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5.
+
+    Ranking on the ROUNDED score with vec_id tie-break keeps the order
+    deterministic and engine-portable.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("vq")
+    )
+    dot = F.aggregate(
+        F.zip_with("vq", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nq = F.sqrt(F.aggregate("vq", F.lit(0.0), lambda acc, v: acc + v * v))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, v: acc + v * v))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("q") != F.col("vec_id"))
+        .select("q", F.col("vec_id").alias("neighbor"), F.round(dot / (nq * nv), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("q", "neighbor", "cos", "rank")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q, v AS vq FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q, e.vec_id AS neighbor,
+         round(list_dot_product(q.vq, e.v) /
+               (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+  FROM q, e WHERE q.q != e.vec_id
+)
+SELECT q, neighbor, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q, neighbor, cos,
+         row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rank
+  FROM scored
+) WHERE rank <= 10"""
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """Sign-LSH bucketed ANN: bucket = sign bits of the first 8 dims
+    (exact, portable); top-3 per query within its bucket."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = F.concat_ws(
+        "", *[F.when(F.element_at("v", i + 1) >= 0, "1").otherwise("0") for i in range(8)]
+    )
+    eb = e.withColumn("bucket", bucket)
+    q = eb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("vq"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("vq", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nq = F.sqrt(F.aggregate("vq", F.lit(0.0), lambda acc, v: acc + v * v))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, v: acc + v * v))
+    scored = (
+        q.join(eb, "bucket")
+        .where(F.col("q") != F.col("vec_id"))
+        .select("q", F.col("vec_id").alias("neighbor"), F.round(dot / (nq * nv), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q", "neighbor", "cos", "rank")
+    )
+
+
+SQL_ANN_LSH = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         concat(
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+         ) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q, v AS vq, bucket FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.q, e.vec_id AS neighbor,
+         round(list_dot_product(q.vq, e.v) /
+               (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+  FROM q JOIN e ON q.bucket = e.bucket AND q.q != e.vec_id
+)
+SELECT q, neighbor, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q, neighbor, cos,
+         row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rank
+  FROM scored
+) WHERE rank <= 3"""
+
+
+# ---------------------------------------------------------- text analysis
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def q_text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    avg_len = F.round((F.length("text") - n_tokens + 1) / n_tokens, 4)
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    score = F.round(
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.5 * (1 - n_stop / n_tokens), 4
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains({_STOPWORDS}, w))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round((length(text) - n_tokens + 1) / n_tokens, 4) AS avg_token_len,
+       round(n_stop / n_tokens, 4) AS stopword_ratio,
+       round(0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (1 - n_stop / n_tokens), 4)
+         AS quality_score
+FROM d"""
+
+
+def q_text_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).cast("int").alias(
+            "re_tokens"
+        ),
+        F.length("text").cast("int").alias("n_chars_measured"),
+    )
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_measured
+FROM documents"""
+
+
+def q_text_langid(spark, sf_dir):
+    """Stopword-vote language id (deterministic heuristic; documents'
+    synthetic text is English-ish so 'en' dominates — the point is the
+    operator plumbing, verified exactly against SQL)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en = F.size(F.filter(toks, lambda w: w.isin("the", "a", "of")))
+    pred = F.when(en > 0, "en").otherwise("und")
+    return d.select(
+        "doc_id", pred.alias("pred_lang"), (pred == F.col("lang")).alias("agrees_meta")
+    )
+
+
+SQL_TEXT_LANGID = """
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of'))) AS en_hits
+  FROM documents
+)
+SELECT doc_id, CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS pred_lang,
+       (CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END) = lang AS agrees_meta
+FROM d"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: lexicographic-min seeded md5 over word
+    3-gram shingles (a 1-row MinHash sketch — rolling-hash flavored,
+    portable)."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    sh = hashing.word_shingles(d, ["doc_id"], "text", n=3)
+    return sh.groupBy("doc_id").agg(
+        F.min(hashing.seeded_md5(F.col("shingle"), 99)).alias("fingerprint")
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH tok AS (
+  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w || ' ' || w1 || ' ' || w2 AS shingle
+  FROM (SELECT doc_id, w, pos,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok)
+  WHERE w2 IS NOT NULL
+)
+SELECT doc_id, min(md5('99|' || shingle)) AS fingerprint FROM sh GROUP BY doc_id"""
+
+
+# ------------------------------------------------------------- multimodal
+
+def q_mm_meta(spark, sf_dir):
+    """Multimodal plumbing: text bytes as an opaque binary payload with
+    typed metadata (real decode is stubbed — see operators/multimodal)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
+    )
+
+
+SQL_MM_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality
+FROM documents"""
+
+
+# ------------------------------------------------- relational/star-schema
+
+def q_rel_lineitem_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("double")), 2).alias("sum_price"),
+        F.round(F.avg(F.col("l_discount").cast("double")), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_REL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_price,
+       round(avg(CAST(l_discount AS DOUBLE)), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_rel_top_customers(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("revenue")
+    )
+    j = rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        j.select("c_custkey", "c_name", "revenue")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+SQL_REL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT c.c_custkey, c.c_name, rev.revenue,
+         row_number() OVER (ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rank
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+) WHERE rank <= 10"""
+
+
+def q_rel_region_rollup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("double")), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_REL_REGION_ROLLUP = """
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+       round(sum(CAST(c_acctbal AS DOUBLE)), 2) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name"""
+
+
+def q_rel_event_sessions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.withColumn("prev", F.lag(F.unix_timestamp("ts")).over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev").isNull() | (F.unix_timestamp("ts") - F.col("prev") > 1800), 1
+        ).otherwise(0),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.round(F.sum(F.col("value").cast("double")), 2).alias("sum_value"),
+    )
+
+
+SQL_REL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       round(sum(CAST(value AS DOUBLE)), 2) AS sum_value
+FROM g GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
+    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
+    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
+    "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
+    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "mm_meta": (q_mm_meta, SQL_MM_META),
+    "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
+    "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
+    "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
+    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+}

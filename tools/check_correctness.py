@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf0.01, compare row count + column names/order-insensitive value
+multiset.  Run before every round so CORRECTNESS_r{N}.json holds no
+surprises.
+
+Usage: python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v) if -2**53 < v < 2**53 else v
+    return v
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"{name:24s} SPARK-ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [c for c in res.columns]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"{name:24s} DUCKDB-ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_vals = ok_cols and ok_count and rowset(scols, srows) == rowset(dcols, drows)
+        status = "MATCH" if (ok_cols and ok_count and ok_vals) else "MISMATCH"
+        if status == "MISMATCH":
+            failures += 1
+        print(
+            f"{name:24s} {status}  spark={len(srows)} duck={len(drows)} "
+            f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if status == "MISMATCH" and ok_cols and ok_count:
+            a, b = rowset(scols, srows), rowset(dcols, drows)
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            for x, y in diff:
+                print(f"    spark: {x}\n    duck : {y}")
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
