@@ -33,22 +33,24 @@ def seeded_md5(col: Column, seed: int) -> Column:
 def word_shingles(df: DataFrame, id_cols: List[str], text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per id.
 
-    Built with posexplode + lead windows (no self-join): one shuffle on
-    the window key, which is the id itself — partitions evenly at any
-    scale because shingling is per-row work.
+    Pure array expressions (split -> transform over an index sequence ->
+    explode): shingling is per-row work, so it must not shuffle — the
+    only shuffle is the final distinct, keyed (id, shingle).  An earlier
+    window-based version shuffled the full token stream; this one stays
+    inside whole-stage codegen until the distinct.
     """
-    from pyspark.sql.window import Window
-
-    tok = df.select(
-        *id_cols, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    arr = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
-    w = Window.partitionBy(*id_cols).orderBy("pos")
-    for i in range(1, n):
-        tok = tok.withColumn(f"w{i}", F.lead("w", i).over(w))
-    parts = [F.col("w")] + [F.col(f"w{i}") for i in range(1, n)]
     return (
-        tok.where(F.col(f"w{n - 1}").isNotNull())
-        .select(*id_cols, F.concat_ws(" ", *parts).alias("shingle"))
+        df.select(*id_cols, F.explode(shingle).alias("shingle"))
         .distinct()
     )
 

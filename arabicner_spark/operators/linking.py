@@ -59,10 +59,14 @@ def link_surfaces(
     MinHash-LSH + components), 'self' (novel surface, canonical is
     itself).
     """
+    # vocabulary-sized and reused by every branch below -> checkpoint
+    # once; without this the whole upstream plan (incl. the NER stage)
+    # re-executes per branch of the final union.
     surfaces = (
         mentions.select(normalize_col(F.col("text")).alias("surface"))
         .where(F.length("surface") > 0)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     dict_best = best_alias(alias_df)
 
@@ -74,7 +78,11 @@ def link_surfaces(
         F.broadcast(dict_best.select("alias")),
         surfaces["surface"] == F.col("alias"),
         "left_anti",
-    )
+    ).localCheckpoint(eager=True)
+
+    if unlinked.isEmpty():
+        # nothing to block — LSH exists to rescue dictionary misses
+        return direct.withColumn("link_kind", F.lit("alias"))
 
     # --- LSH blocking over unlinked surfaces + dictionary aliases
     s_nodes = unlinked.select(
@@ -84,7 +92,8 @@ def link_surfaces(
         F.concat(F.lit("A:"), "alias").alias("id"), F.col("alias").alias("t")
     ).distinct()
     nodes = s_nodes.union(a_nodes)
-    shingles = hashing.char_shingles(nodes, ["id"], "t", n=3)
+    # reused 3x (signatures, pair verification x2, sizes)
+    shingles = hashing.char_shingles(nodes, ["id"], "t", n=3).localCheckpoint(eager=True)
     sigs = hashing.minhash_signatures(shingles, ["id"], n_hashes=n_hashes)
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sigs, ["id"], bands=bands, rows_per_band=n_hashes // bands),
@@ -107,7 +116,7 @@ def link_surfaces(
         .select("a", "b")
     )
 
-    comp = connected_components(verified)
+    comp = connected_components(verified).localCheckpoint(eager=True)
 
     # canonical per component: best entity among alias members, else
     # "S:" + min surface member.

@@ -59,10 +59,14 @@ def extract_mentions(
     bc = spark.sparkContext.broadcast((gazetteer, types, max_seq_len))
 
     pruned = transcripts.select("conv_id", "turn_idx", "text")
-    if salt_partitions:
-        pruned = pruned.repartition(
-            salt_partitions, "conv_id", F.pmod("turn_idx", F.lit(TURN_SALT))
-        )
+    # Always salt-repartition the Python stage input: (a) a hot conv_id
+    # must not land in one Arrow batch (skew), (b) a single-split scan
+    # (one parquet file) must not serialize the whole NER stage onto one
+    # core.  Default width = cluster parallelism.
+    n_parts = salt_partitions or spark.sparkContext.defaultParallelism
+    pruned = pruned.repartition(
+        n_parts, "conv_id", F.pmod("turn_idx", F.lit(TURN_SALT))
+    )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz, typs, msl = bc.value

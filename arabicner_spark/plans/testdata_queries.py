@@ -500,17 +500,24 @@ def q_dedup_embedding(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, v: acc + v * v))
+    # precompute norms ONCE per vector (not per pair) — same arithmetic
+    # as the SQL oracle, N x cheaper; left side repartitioned so the
+    # O(N^2) dot products use every core even off a one-split file.
+    en = e.withColumn("nrm", norm)
+    a = en.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    b = en.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, v: acc + v * v))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(dot / (na * nb), 4).alias("cos"))
+        .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos"))
         .where(F.col("cos") >= 0.45)
     )
 

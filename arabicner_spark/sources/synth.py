@@ -32,13 +32,20 @@ from arabicner_spark.functions.normalize import normalize_py
 GAZETTEER: Dict[str, List[str]] = {
     "PERS": ["الأسد", "محمود درويش", "فيروز", "نزار قباني"],
     "ORG": ["مجلس الأمن", "جامعة بيرزيت", "الأمم المتحدة", "شركة أرامكو"],
-    "GPE": ["بيرزيت", "نابلس", "دمشق", "بيروت", "القاهرة"],
+    "GPE": ["بيرزيت", "نابلس", "دمشق", "بيروت", "القاهرة", "نابلسس"],
     "LOC": ["نهر الأردن", "جبل الشيخ"],
     "FAC": ["مطار الملكة علياء", "جسر الملك حسين"],
     "OCC": ["سكرتير اللجنة", "مدير الجامعة", "رئيس الوزراء"],
     "EVENT": ["مؤتمر القمة", "معرض الكتاب"],
     "DATE": ["عام ١٩٤٨", "شهر رمضان"],
 }
+
+# surfaces the tagger detects but the alias dictionary does NOT carry:
+# they stay unlinked after the broadcast join and must be rescued by
+# MinHash-LSH + components (char-3gram Jaccard to their true alias —
+# e.g. نابلسس vs نابلس = 3/4 = 0.75).  Keeps the LSH path hot in every
+# pipeline run, not just in targeted tests.
+VARIANT_SURFACES = {"نابلسس"}
 
 FILLER = (
     "فقد حرصت على تعطيل مشاريع قرارات مختلفة في ضد وتدخلت عسكرياً لقلب "
@@ -76,6 +83,8 @@ def make_alias_rows() -> List[Tuple[str, str, str, float]]:
     types = sorted(GAZETTEER)
     for typ in types:
         for phrase in GAZETTEER[typ]:
+            if phrase in VARIANT_SURFACES:
+                continue  # deliberately absent: LSH must link these
             entity = f"E{eid:06d}"
             norm = normalize_py(phrase)
             rows.append((norm, entity, typ, 1.0))
