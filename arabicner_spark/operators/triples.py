@@ -47,45 +47,78 @@ def extract_triples(
     predicates: List[Tuple[str, str, str]] = DEFAULT_PREDICATES,
     window: int = DEFAULT_WINDOW,
 ) -> DataFrame:
-    """mentions -> triples (schemas.TRIPLES)."""
+    """mentions -> triples (schemas.TRIPLES).
+
+    Physical shape: ONE shuffle (groupBy the turn key), pair generation
+    as array combinatorics inside whole-stage codegen, then a broadcast
+    join against the tiny predicate table.  A naive self-join instead
+    (a) executes the upstream plan twice — fatal when upstream is the
+    Python NER stage — and (b) tempts AQE into broadcasting a mentions
+    table that is unbounded at production scale.  Mentions-per-turn is
+    bounded by turn length, so per-row pair fan-out is bounded and the
+    type-pair + gap filters run INSIDE the array before explode.
+    """
     spark = mentions.sparkSession
     pred_df = spark.createDataFrame(
         predicates, "subj_type string, pred string, obj_type string"
     )
-    a = mentions.alias("a")
-    b = mentions.alias("b")
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a.conv_id") == F.col("b.conv_id"),
-            F.col("a.turn_idx") == F.col("b.turn_idx"),
-        ],
-    ).where(
-        ~(
-            (F.col("a.level") == F.col("b.level"))
-            & (F.col("a.start_tok") == F.col("b.start_tok"))
-            & (F.col("a.end_tok") == F.col("b.end_tok"))
-        )
+    type_pairs = F.array(
+        *[F.lit(f"{st}|{ot}") for st, ot in sorted({(s, o) for s, _p, o in predicates})]
     )
-    gap = F.greatest(
-        F.col("b.start_tok") - F.col("a.end_tok"),
-        F.col("a.start_tok") - F.col("b.end_tok"),
+    m = F.struct("level", "start_tok", "end_tok", "type", "text")
+    per_turn = mentions.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(m).alias("ms")
+    )
+
+    def keep(p):
+        a, b = p["a"], p["b"]
+        not_same = ~(
+            (a["level"] == b["level"])
+            & (a["start_tok"] == b["start_tok"])
+            & (a["end_tok"] == b["end_tok"])
+        )
+        gap_ok = (
+            F.greatest(
+                b["start_tok"] - a["end_tok"], a["start_tok"] - b["end_tok"]
+            )
+            <= F.lit(window)
+        )
+        typed = F.array_contains(
+            type_pairs, F.concat(a["type"], F.lit("|"), b["type"])
+        )
+        return not_same & gap_ok & typed
+
+    pairs = per_turn.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda a: F.transform(
+                            "ms", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                keep,
+            )
+        ).alias("p"),
     )
     return (
-        pairs.where(gap <= F.lit(window))
-        .join(
+        pairs.join(
             F.broadcast(pred_df),
             on=[
-                F.col("a.type") == F.col("subj_type"),
-                F.col("b.type") == F.col("obj_type"),
+                F.col("p.a.type") == F.col("subj_type"),
+                F.col("p.b.type") == F.col("obj_type"),
             ],
         )
         .select(
-            F.col("a.text").alias("subj"),
+            F.col("p.a.text").alias("subj"),
             F.col("pred"),
-            F.col("b.text").alias("obj"),
-            F.col("a.conv_id").alias("conv_id"),
-            F.col("a.turn_idx").alias("turn_idx"),
+            F.col("p.b.text").alias("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
             F.col("subj_type"),
             F.col("obj_type"),
         )

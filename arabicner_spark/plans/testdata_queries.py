@@ -193,31 +193,56 @@ SQL_KG_TRANSCRIPTS = f"WITH {_SQL_T} SELECT conv_id, turn_idx, role, text, tool,
 
 
 def _mentions_ngram(spark, sf_dir):
+    """Declarative gazetteer scan with ZERO shuffles before the
+    broadcast join: candidate n-grams are generated as array
+    expressions over the split token array (no window, no posexplode
+    self-union — an earlier version paid a window shuffle and ran the
+    scan subtree twice), so the plan is scan -> codegen explode ->
+    broadcast hash join, fully pipelined at any scale."""
     t = transcripts(spark, sf_dir)
-    tok = t.select(
-        "conv_id", "turn_idx", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).select("conv_id", "turn_idx", F.col("pos").cast("int").alias("pos"), "w")
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
-    tok2 = tok.withColumn("w2", F.lead("w").over(w))
-    g = gaz_df(spark)
-    uni = tok2.join(
-        F.broadcast(g.where(F.col("len") == 1)), tok2["w"] == g["phrase"]
-    ).select(
-        "conv_id", "turn_idx", "level", "type",
-        F.col("pos").alias("start_tok"), (F.col("pos") + 1).cast("int").alias("end_tok"),
-        F.col("w").alias("text"),
-    )
-    bi = (
-        tok2.where(F.col("w2").isNotNull())
-        .withColumn("ng", F.concat_ws(" ", "w", "w2"))
-        .join(F.broadcast(g.where(F.col("len") == 2)), F.col("ng") == g["phrase"])
-        .select(
-            "conv_id", "turn_idx", "level", "type",
-            F.col("pos").alias("start_tok"), (F.col("pos") + 2).cast("int").alias("end_tok"),
-            F.col("ng").alias("text"),
+    arr = F.split("text", " ")
+    t = t.select("conv_id", "turn_idx", arr.alias("arr"))
+
+    def cands(i):
+        uni = F.struct(
+            i.cast("int").alias("pos"),
+            F.element_at(F.col("arr"), (i + 1).cast("int")).alias("ng"),
+            F.lit(1).alias("len"),
         )
+        bi = F.when(
+            i + 2 <= F.size("arr"),
+            F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("arr"), (i + 1).cast("int")),
+                    F.element_at(F.col("arr"), (i + 2).cast("int")),
+                ).alias("ng"),
+                F.lit(2).alias("len"),
+            ),
+        )
+        return F.filter(F.array(uni, bi), lambda x: x.isNotNull())
+
+    exploded = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.flatten(F.transform(F.sequence(F.lit(0), F.size("arr") - 1), cands))
+        ).alias("c"),
     )
-    return uni.unionByName(bi)
+    g = gaz_df(spark)
+    return exploded.join(
+        F.broadcast(g),
+        on=[F.col("c.ng") == g["phrase"], F.col("c.len") == g["len"]],
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "level",
+        "type",
+        F.col("c.pos").alias("start_tok"),
+        (F.col("c.pos") + F.col("c.len")).cast("int").alias("end_tok"),
+        F.col("c.ng").alias("text"),
+    )
 
 
 def q_kg_mentions(spark, sf_dir):

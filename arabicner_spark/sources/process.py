@@ -1,0 +1,77 @@
+"""Corpus preprocessing — SURVEY.md section 2.A operators #2/#3/#4:
+the reference's process.py (TSV -> CoNLL segments, row filters, random
+3-way split) as DataFrame ops.
+
+Reference filters (arabiner/bin/process.py:24-43), reproduced exactly:
+  * every label contains '-' or equals 'O' (else drop row)
+  * labels non-empty, token non-empty, token is a single word
+Segment boundary = sent_id change between consecutive rows
+(process.py:45-46); the split is randomSplit with a fixed seed
+(np.random.shuffle + np.split in the reference, process.py:66-84 —
+same contract: disjoint, ratio-sized, seed-reproducible).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def read_wojood_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Raw export: row[1]=sent_id, row[3]=token, row[4]=labels
+    (space-separated), header skipped."""
+    df = spark.read.option("sep", "\t").option("header", "true").csv(path)
+    cols = df.columns
+    return df.select(
+        F.monotonically_increasing_id().alias("row_no"),
+        F.col(cols[1]).alias("sent_id"),
+        F.col(cols[3]).alias("token"),
+        F.split(F.coalesce(F.col(cols[4]), F.lit("")), " ").alias("labels"),
+    )
+
+
+def clean_rows(df: DataFrame) -> DataFrame:
+    """The reference's four row filters, as one Catalyst filter."""
+    valid_labels = F.forall(
+        "labels", lambda l: l.contains("-") | (l == F.lit("O"))
+    )
+    return df.where(
+        valid_labels
+        & (F.size("labels") > 0)
+        & (F.coalesce(F.col("token"), F.lit("")) != "")
+        & (F.size(F.split(F.col("token"), " ")) == 1)
+    )
+
+
+def to_segments(df: DataFrame) -> DataFrame:
+    """-> (seg_id, tokens array<struct<token, labels>>), boundaries at
+    sent_id changes in row order."""
+    w = Window.orderBy("row_no")
+    marked = df.withColumn(
+        "new_seg",
+        (F.lag("sent_id").over(w).isNull() | (F.lag("sent_id").over(w) != F.col("sent_id"))).cast("int"),
+    )
+    seg = marked.withColumn("seg_id", F.sum("new_seg").over(w) - 1)
+    return (
+        seg.withColumn("t", F.struct("row_no", "token", "labels"))
+        .groupBy("seg_id")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+        .select(
+            "seg_id",
+            F.transform(
+                "ts",
+                lambda t: F.struct(t["token"].alias("token"), t["labels"].alias("labels")),
+            ).alias("tokens"),
+        )
+    )
+
+
+def train_dev_test_split(
+    segments: DataFrame, train_ratio: float = 0.7, dev_ratio: float = 0.1, seed: int = 1
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    test_ratio = 1.0 - train_ratio - dev_ratio
+    train, dev, test = segments.randomSplit([train_ratio, dev_ratio, test_ratio], seed)
+    return train, dev, test

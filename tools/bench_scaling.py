@@ -91,15 +91,20 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    import pandas as pd
+
+    from arabicner_spark import schemas
     from arabicner_spark.sources import synth
 
-    df = spark.createDataFrame(
-        synth.make_transcript_rows(n_convs=args.convs, seed=42),
-        __import__("arabicner_spark.schemas", fromlist=["TRANSCRIPTS"]).TRANSCRIPTS,
-    )
+    rows = synth.make_transcript_rows(n_convs=args.convs, seed=42)
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32"})
+    df = spark.createDataFrame(pdf, schemas.TRANSCRIPTS)  # Arrow path
     df.repartition(64).write.mode("overwrite").parquet(input_path)
     spark.stop()
 
