@@ -68,41 +68,50 @@ def extract_mentions(
         n_parts, "conv_id", F.pmod("turn_idx", F.lit(TURN_SALT))
     )
 
+    COLLATE = 256  # reference batch granularity (bin/train.py:70-74)
+
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz, typs, msl = bc.value
         n_levels = len(typs)
         for pdf in batches:
             texts = pdf["text"].fillna("").tolist()
-            toks = [t.split() for t in texts]
-            norm = [[normalize_py(w) for w in ts] for ts in toks]
-            enc = [tagcore.encode_tokens(n, msl) for n in norm]
-            logits = [tagcore.score_turn(n, gaz, typs, msl) for n in norm]
-            # collate: pad to batch max T (O stays argmax in padding
-            # because score_turn's baseline puts all mass on O and
-            # np.zeros padding ties break toward B... so pad with an
-            # explicit O-hot frame instead).
-            T = max((lg.shape[0] for lg in logits), default=0)
-            batch = np.zeros((len(logits), T, n_levels, tagcore.N_LABELS), np.float32)
-            batch[:, :, :, tagcore.O_ID] = 1.0
-            for i, lg in enumerate(logits):
-                batch[i, : lg.shape[0]] = lg
-            ids = np.argmax(batch, axis=-1)  # (B, T, L)
+            convs = pdf["conv_id"].tolist()
+            turns = pdf["turn_idx"].tolist()
             out = {k: [] for k in schemas.MENTIONS.fieldNames()}
-            for i, (first_idx, _, n_tag) in enumerate(enc):
-                spans = tagcore.decode_turn(
-                    # decode_turn argmaxes again; hand it the one-turn
-                    # slice as logits via identity trick: rebuild a
-                    # minimal one-hot from ids to keep one code path.
-                    _onehot(ids[i]), first_idx, n_tag, typs
+            # collate in sub-batches with pad-to-SUB-batch-max (the
+            # reference's dynamic padding, datasets.py:139-148): one
+            # 600-token turn must not blow the padded tensor up to
+            # B_arrow x T_max — Arrow batches can be 10^4 rows.
+            for lo in range(0, len(texts), COLLATE):
+                chunk = texts[lo : lo + COLLATE]
+                toks = [t.split() for t in chunk]
+                norm = [[normalize_py(w) for w in ts] for ts in toks]
+                enc = [tagcore.encode_tokens(n, msl) for n in norm]
+                logits = [tagcore.score_turn(n, gaz, typs, msl) for n in norm]
+                T = max((lg.shape[0] for lg in logits), default=0)
+                batch = np.zeros(
+                    (len(logits), T, n_levels, tagcore.N_LABELS), np.float32
                 )
-                for lvl, typ, s, e in spans:
-                    out["conv_id"].append(pdf["conv_id"].iloc[i])
-                    out["turn_idx"].append(pdf["turn_idx"].iloc[i])
-                    out["level"].append(lvl)
-                    out["type"].append(typ)
-                    out["start_tok"].append(s)
-                    out["end_tok"].append(e)
-                    out["text"].append(" ".join(toks[i][s:e]))
+                batch[:, :, :, tagcore.O_ID] = 1.0
+                for i, lg in enumerate(logits):
+                    batch[i, : lg.shape[0]] = lg
+                ids = np.argmax(batch, axis=-1)  # (B, T, L)
+                for i, (first_idx, _, n_tag) in enumerate(enc):
+                    spans = tagcore.decode_turn(
+                        # decode_turn argmaxes again; hand it the
+                        # one-turn slice as a one-hot rebuild to keep
+                        # decode single-sourced with the oracle.
+                        _onehot(ids[i]), first_idx, n_tag, typs
+                    )
+                    gi = lo + i
+                    for lvl, typ, s, e in spans:
+                        out["conv_id"].append(convs[gi])
+                        out["turn_idx"].append(turns[gi])
+                        out["level"].append(lvl)
+                        out["type"].append(typ)
+                        out["start_tok"].append(s)
+                        out["end_tok"].append(e)
+                        out["text"].append(" ".join(toks[i][s:e]))
             yield pd.DataFrame(out).astype(
                 {
                     "turn_idx": "int32",
