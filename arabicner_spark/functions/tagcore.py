@@ -62,9 +62,35 @@ _LOGIT_HIT = 8.0
 Gazetteer = Dict[str, set]
 
 
-def gazetteer_types(gaz: Gazetteer) -> List[str]:
+class PreparedGazetteer:
+    """First-token-indexed gazetteer: one dict lookup decides whether a
+    position can start any phrase of a type (the common case is a miss,
+    so the per-position candidate-length loop disappears).  Prepare
+    ONCE per executor/batch, not per turn."""
+
+    __slots__ = ("types", "index")
+
+    def __init__(self, gaz: Gazetteer):
+        self.types = sorted(gaz)
+        # {type: {first_token: [(len, phrase_tuple)] longest-first}}
+        self.index: Dict[str, Dict[str, list]] = {}
+        for typ in self.types:
+            by_first: Dict[str, list] = {}
+            for phrase in gaz[typ]:
+                if phrase:
+                    by_first.setdefault(phrase[0], []).append((len(phrase), phrase))
+            for cands in by_first.values():
+                cands.sort(key=lambda kp: -kp[0])
+            self.index[typ] = by_first
+
+
+def prepare(gaz) -> PreparedGazetteer:
+    return gaz if isinstance(gaz, PreparedGazetteer) else PreparedGazetteer(gaz)
+
+
+def gazetteer_types(gaz) -> List[str]:
     """Level order = sorted type names (arabiner/utils/data.py:86)."""
-    return sorted(gaz)
+    return gaz.types if isinstance(gaz, PreparedGazetteer) else sorted(gaz)
 
 
 def subword_lengths(tokens: Sequence[str]) -> np.ndarray:
@@ -98,34 +124,39 @@ def encode_tokens(
 
 
 def greedy_match(
-    norm_tokens: Sequence[str], phrases: set, max_phrase_len: int
+    norm_tokens: Sequence[str], by_first: Dict[str, list]
 ) -> List[Tuple[int, int]]:
     """Greedy left-to-right longest-match of gazetteer phrases.
 
-    Within one type head, matched spans never overlap (the head can
-    only express one BIO segmentation), mirroring the reference's
-    "we do not have overlapping of same type" rule
-    (arabiner/data/transforms.py:91-95).  Nesting arises across heads.
+    ``by_first``: {first_token: [(len, phrase_tuple)] longest-first}
+    (PreparedGazetteer.index[type]).  Within one type head, matched
+    spans never overlap (the head can only express one BIO
+    segmentation), mirroring the reference's "we do not have
+    overlapping of same type" rule (arabiner/data/transforms.py:91-95).
+    Nesting arises across heads.
     """
     spans: List[Tuple[int, int]] = []
     n = len(norm_tokens)
     i = 0
     while i < n:
+        cands = by_first.get(norm_tokens[i])
         hit = 0
-        for k in range(min(max_phrase_len, n - i), 0, -1):
-            if tuple(norm_tokens[i : i + k]) in phrases:
-                spans.append((i, i + k))
-                hit = k
-                break
+        if cands:
+            for k, phrase in cands:  # longest-first
+                if i + k <= n and tuple(norm_tokens[i : i + k]) == phrase:
+                    spans.append((i, i + k))
+                    hit = k
+                    break
         i += hit or 1
     return spans
 
 
 def score_turn(
     norm_tokens: Sequence[str],
-    gaz: Gazetteer,
-    types: Sequence[str],
+    gaz,
+    types: Sequence[str] = None,
     max_seq_len: int = DEFAULT_MAX_SEQ_LEN,
+    enc: Tuple[np.ndarray, int, int] = None,
 ) -> np.ndarray:
     """Deterministic gazetteer scorer: logits of shape (T, L, 3).
 
@@ -135,17 +166,21 @@ def score_turn(
     between the stand-in and any real model.
     Non-O mass only ever lands on FIRST subwords, mirroring label
     construction (arabiner/data/transforms.py:91-99).
+    ``gaz`` may be a raw dict or a PreparedGazetteer; ``enc`` lets the
+    caller reuse an encode_tokens result.
     """
-    first_idx, n_subwords, n_taggable = encode_tokens(norm_tokens, max_seq_len)
+    pg = prepare(gaz)
+    types = list(types) if types is not None else pg.types
+    first_idx, n_subwords, n_taggable = enc or encode_tokens(norm_tokens, max_seq_len)
     T = n_subwords + 2
     logits = np.zeros((T, len(types), N_LABELS), dtype=np.float32)
     logits[:, :, O_ID] = _LOGIT_BASE
-    max_len = {t: max((len(p) for p in gaz.get(t, ())), default=0) for t in types}
-    visible = list(norm_tokens[:n_taggable])
+    visible = norm_tokens[:n_taggable]
     for lvl, typ in enumerate(types):
-        if not max_len[typ]:
+        by_first = pg.index.get(typ)
+        if not by_first:
             continue
-        for start, end in greedy_match(visible, gaz[typ], max_len[typ]):
+        for start, end in greedy_match(visible, by_first):
             # +1 offsets past CLS
             logits[first_idx[start] + 1, lvl, B_ID] = _LOGIT_HIT
             for tok in range(start + 1, end):
@@ -169,7 +204,8 @@ def decode_turn(
         return []
     tok_ids = label_ids[first_subword_idx[:n_taggable] + 1]  # (n_tok, L)
     out: List[Tuple[int, str, int, int]] = []
-    for lvl in range(tok_ids.shape[1]):
+    nontrivial = np.flatnonzero((tok_ids != O_ID).any(axis=0)).tolist()
+    for lvl in nontrivial:
         col = tok_ids[:, lvl]
         start = -1
         for pos, lab in enumerate(col):
@@ -193,8 +229,8 @@ def decode_turn(
 def mentions_for_turn(
     tokens: Sequence[str],
     norm_tokens: Sequence[str],
-    gaz: Gazetteer,
-    types: Sequence[str],
+    gaz,
+    types: Sequence[str] = None,
     max_seq_len: int = DEFAULT_MAX_SEQ_LEN,
 ) -> List[Tuple[int, str, int, int, str]]:
     """Full per-turn path: encode -> score -> decode -> surface text.
@@ -202,9 +238,11 @@ def mentions_for_turn(
     Returns [(level, type, start_tok, end_tok, text)], where text is the
     ORIGINAL (un-normalized) tokens joined by single spaces.
     """
-    first_idx, _, n_taggable = encode_tokens(norm_tokens, max_seq_len)
-    logits = score_turn(norm_tokens, gaz, types, max_seq_len)
-    spans = decode_turn(logits, first_idx, n_taggable, types)
+    pg = prepare(gaz)
+    types = list(types) if types is not None else pg.types
+    enc = encode_tokens(norm_tokens, max_seq_len)
+    logits = score_turn(norm_tokens, pg, types, max_seq_len, enc=enc)
+    spans = decode_turn(logits, enc[0], enc[2], types)
     return [
         (lvl, typ, s, e, " ".join(tokens[s:e])) for (lvl, typ, s, e) in spans
     ]

@@ -72,6 +72,7 @@ def extract_mentions(
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz, typs, msl = bc.value
+        pg = tagcore.prepare(gaz)  # first-token index, built once per task
         n_levels = len(typs)
         for pdf in batches:
             texts = pdf["text"].fillna("").tolist()
@@ -87,7 +88,10 @@ def extract_mentions(
                 toks = [t.split() for t in chunk]
                 norm = [[normalize_py(w) for w in ts] for ts in toks]
                 enc = [tagcore.encode_tokens(n, msl) for n in norm]
-                logits = [tagcore.score_turn(n, gaz, typs, msl) for n in norm]
+                logits = [
+                    tagcore.score_turn(n, pg, typs, msl, enc=e)
+                    for n, e in zip(norm, enc)
+                ]
                 T = max((lg.shape[0] for lg in logits), default=0)
                 batch = np.zeros(
                     (len(logits), T, n_levels, tagcore.N_LABELS), np.float32

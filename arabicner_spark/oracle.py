@@ -31,6 +31,7 @@ def oracle_mentions(
     gazetteer: Dict[str, set],
     max_seq_len: int = tagcore.DEFAULT_MAX_SEQ_LEN,
 ) -> List[Mention]:
+    gazetteer = tagcore.prepare(gazetteer)
     types = tagcore.gazetteer_types(gazetteer)
     out: List[Mention] = []
     for row in rows:
