@@ -73,7 +73,7 @@ def main() -> None:
     p.add_argument("--input")
     p.add_argument("--out")
     p.add_argument("--convs", type=int, default=1200)
-    p.add_argument("--levels", default="8,32")
+    p.add_argument("--levels", default="4,16")
     args = p.parse_args()
 
     if args.worker:
@@ -83,7 +83,10 @@ def main() -> None:
     import tempfile
 
     work = tempfile.mkdtemp(prefix="kg_scaling_")
-    input_path = os.path.join(work, "transcripts")
+    input_path = args.input or os.path.join(work, "transcripts")
+    if args.input:
+        _run_levels(args, work, input_path)
+        return
     # generate once (deterministic), write parquet shared by both runs
     from pyspark.sql import SparkSession
 
@@ -107,7 +110,10 @@ def main() -> None:
     df = spark.createDataFrame(pdf, schemas.TRANSCRIPTS)  # Arrow path
     df.repartition(64).write.mode("overwrite").parquet(input_path)
     spark.stop()
+    _run_levels(args, work, input_path)
 
+
+def _run_levels(args, work: str, input_path: str) -> None:
     results = []
     for cores in [int(x) for x in args.levels.split(",")]:
         out = os.path.join(work, f"out_{cores}")
