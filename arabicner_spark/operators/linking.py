@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from arabicner_spark.functions import hashing
 from arabicner_spark.functions.normalize import normalize_col
-from arabicner_spark.operators.components import connected_components
+from arabicner_spark.operators.components import connected_components_adaptive
 
 DEFAULT_JACCARD = 0.5
 
@@ -116,7 +116,7 @@ def link_surfaces(
         .select("a", "b")
     )
 
-    comp = connected_components(verified).localCheckpoint(eager=True)
+    comp = connected_components_adaptive(verified).localCheckpoint(eager=True)
 
     # canonical per component: best entity among alias members, else
     # "S:" + min surface member.

@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from arabicner_spark.functions import hashing
 from arabicner_spark.operators import ner, triples as triples_op
-from arabicner_spark.operators.components import connected_components
+from arabicner_spark.operators.components import connected_components_adaptive
 from arabicner_spark.operators.linking import best_alias
 
 # ------------------------------------------------------------------ fixtures
@@ -362,7 +362,7 @@ def q_kg_components(spark, sf_dir):
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
-    comp = connected_components(pairs)
+    comp = connected_components_adaptive(pairs)
     return d.select(F.col("id").alias("node")).join(comp, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )

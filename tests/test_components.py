@@ -32,3 +32,25 @@ def test_self_loops_and_dups_ignored(spark):
 def test_cycle(spark):
     got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "a")])
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+def test_adaptive_matches_distributed(spark):
+    from arabicner_spark.operators.components import connected_components_adaptive
+
+    edges = [("b", "a"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "p")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    dist = {(r.node, r.component) for r in connected_components(df).collect()}
+    # driver path (threshold above edge count) and forced distributed
+    # path (threshold 0) must agree exactly
+    drv = {(r.node, r.component)
+           for r in connected_components_adaptive(df, driver_threshold=10**6).collect()}
+    forced = {(r.node, r.component)
+              for r in connected_components_adaptive(df, driver_threshold=0).collect()}
+    assert drv == dist == forced
+
+
+def test_adaptive_empty_edges(spark):
+    from arabicner_spark.operators.components import connected_components_adaptive
+
+    df = spark.createDataFrame([], "a string, b string")
+    assert connected_components_adaptive(df).count() == 0
