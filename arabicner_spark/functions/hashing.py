@@ -103,14 +103,20 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str
+    bands_df: DataFrame, id_col: str, materialize: bool = True
 ) -> DataFrame:
     """Self-join on (band, sig): distinct (a, b) with a < b.
 
     The shuffle key (band, sig) is high-cardinality; genuinely hot
     buckets (many near-identical texts) are exactly the pairs we want,
     and AQE skew-join splitting handles pathological buckets.
+    ``materialize`` checkpoints the band table first: both join sides
+    reference the same upstream (shingle -> minhash) pipeline, and
+    without materialization Spark executes it twice (exchange reuse
+    dies as soon as AQE broadcasts one side).
     """
+    if materialize:
+        bands_df = bands_df.localCheckpoint(eager=True)
     a = bands_df.select(F.col(id_col).alias("a"), "band", "sig")
     b = bands_df.select(F.col(id_col).alias("b"), "band", "sig")
     return (

@@ -452,7 +452,9 @@ def q_dedup_jaccard(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
     )
-    sh = hashing.word_shingles(d, ["id"], "text", n=3)
+    # reused by signatures, both sides of the intersection join, and
+    # sizes -> materialize once
+    sh = hashing.word_shingles(d, ["id"], "text", n=3).localCheckpoint(eager=True)
     sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
