@@ -74,3 +74,28 @@ def test_streaming_mentions_micro_batch(spark, tmp_path):
         for r in ner.extract_mentions(df, gaz).collect()
     }
     assert got == want and got
+
+
+def test_streaming_mention_rate_watermarked(spark, tmp_path):
+    """Watermarked windowed aggregate over the mention stream."""
+    from arabicner_spark import schemas
+    from arabicner_spark.sources import synth
+    from arabicner_spark.streaming import ingest
+
+    rows = synth.make_transcript_rows(n_convs=4, seed=11)
+    df = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    src = str(tmp_path / "rate_src")
+    df.write.parquet(src)
+    stream = ingest.stream_transcripts(spark, src)
+    rates = ingest.mention_rate(ingest.streaming_mentions(stream, synth.gazetteer_dict()))
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from rates").collect()
+    assert got and all(r.n_mentions > 0 for r in got)
+    assert {"window_start", "type", "n_mentions"} == set(got[0].asDict())

@@ -1,0 +1,87 @@
+"""Physical-plan regression guards: the properties PLANS.md documents,
+asserted programmatically so an innocent-looking refactor can't
+silently reintroduce a double-computed UDF stage or a pre-join shuffle.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def nodes_of(plan: str):
+    """One entry per physical node, from the detail headers."""
+    return re.findall(r"\n\(\d+\) (\w+)", plan)
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_ner_stage_runs_once_in_triples_plan(spark, sf_dir):
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_triples"][0](spark, sf_dir))
+    nodes = nodes_of(plan)
+    # the expensive Python stage must appear exactly once
+    assert nodes.count("MapInPandas") == 1
+    # pair generation is array-combinatorics, not a self-join
+    assert "SortMergeJoin" not in nodes
+    assert nodes.count("BroadcastHashJoin") == 1  # predicate table only
+
+
+def test_mention_scan_has_no_prejoin_shuffle(spark, sf_dir):
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_mentions"][0](spark, sf_dir))
+    nodes = nodes_of(plan)
+    assert "Window" not in nodes
+    # only the broadcast exchange for the gazetteer — no data shuffle
+    exchanges = [n for n in nodes if n.endswith("Exchange")]
+    assert exchanges and all(e == "BroadcastExchange" for e in exchanges), exchanges
+
+
+def test_ner_column_pruning_reaches_scan(spark, sf_dir):
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_mentions_bio"][0](spark, sf_dir))
+    # only doc_id + text may be read from the documents scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_ann_topk_rank_pushdown(spark, sf_dir):
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    plan = plan_of(QUERIES["ann_topk"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # top-k never materializes full score set
+
+
+def test_hot_conversation_spreads_across_partitions(spark):
+    """Extreme skew: one conversation with 4000 turns must not land in
+    one task — the salt repartition spreads it over TURN_SALT keys."""
+    import pyspark.sql.functions as F
+
+    from arabicner_spark import schemas
+    from arabicner_spark.operators import ner
+    from datetime import datetime, timezone
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [("hot", i, "user", "زار الأسد بيرزيت", None, ts) for i in range(4000)]
+    df = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    from arabicner_spark.sources import synth
+
+    m = ner.extract_mentions(df, synth.gazetteer_dict(), salt_partitions=16)
+    per_part = (
+        m.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+    )
+    assert len(per_part) >= 8  # spread over many tasks, not one
+    assert max(r["count"] for r in per_part) < 8000 * 0.5  # no single-task pileup
