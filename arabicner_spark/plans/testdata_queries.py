@@ -412,6 +412,94 @@ reach(node, r) AS (
 SELECT node, min(r) AS component FROM reach GROUP BY node"""
 
 
+def q_kg_nested_mentions(spark, sf_dir):
+    """Nested-mention containment: inner mention strictly inside an
+    outer mention on a DIFFERENT level (the cross-level nesting the
+    multi-head BIO scheme exists for)."""
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    o = m.select(
+        "conv_id", "turn_idx",
+        F.col("level").alias("outer_level"), F.col("type").alias("outer_type"),
+        F.col("start_tok").alias("os"), F.col("end_tok").alias("oe"),
+        F.col("text").alias("outer_text"),
+    )
+    i = m.select(
+        "conv_id", "turn_idx",
+        F.col("level").alias("inner_level"), F.col("type").alias("inner_type"),
+        F.col("start_tok").alias("is_"), F.col("end_tok").alias("ie"),
+        F.col("text").alias("inner_text"),
+    )
+    return (
+        o.join(i, ["conv_id", "turn_idx"])
+        .where(
+            (F.col("outer_level") != F.col("inner_level"))
+            & (F.col("os") <= F.col("is_"))
+            & (F.col("ie") <= F.col("oe"))
+            & ((F.col("oe") - F.col("os")) > (F.col("ie") - F.col("is_")))
+        )
+        .select(
+            "conv_id", "turn_idx", "outer_type", "outer_text",
+            "inner_type", "inner_text",
+            F.col("is_").alias("inner_start"), F.col("ie").alias("inner_end"),
+        )
+    )
+
+
+SQL_KG_NESTED = f"""WITH {_SQL_T}, {_SQL_MEN}
+SELECT o.conv_id, o.turn_idx, o.type AS outer_type, o.text AS outer_text,
+       i.type AS inner_type, i.text AS inner_text,
+       i.start_tok AS inner_start, i.end_tok AS inner_end
+FROM men o JOIN men i
+  ON o.conv_id = i.conv_id AND o.turn_idx = i.turn_idx
+WHERE o.level != i.level
+  AND o.start_tok <= i.start_tok AND i.end_tok <= o.end_tok
+  AND (o.end_tok - o.start_tok) > (i.end_tok - i.start_tok)"""
+
+
+def q_text_top_tokens(spark, sf_dir):
+    """Corpus-level top-20 tokens (deterministic tie-break on token)."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+SQL_TEXT_TOP_TOKENS = """
+WITH c AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+)
+SELECT w, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS rank FROM c
+) WHERE rank <= 20"""
+
+
+def q_rel_hourly_events(spark, sf_dir):
+    """Tumbling-hour event rollup (epoch-second window starts keep the
+    comparison timestamp-free)."""
+    ev = load(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    return ev.groupBy(hour.alias("hour_epoch"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("double")), 2).alias("sum_value"),
+    )
+
+
+SQL_REL_HOURLY = """
+SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       event_type, count(*) AS n_events,
+       round(sum(CAST(value AS DOUBLE)), 2) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
 # ------------------------------------------------------------ dedup family
 
 def q_dedup_exact(spark, sf_dir):
@@ -918,6 +1006,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
     "kg_edges": (q_kg_edges, SQL_KG_EDGES),
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
+    "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
     "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
@@ -930,9 +1019,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
     "mm_meta": (q_mm_meta, SQL_MM_META),
     "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+    "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
 }
