@@ -52,12 +52,20 @@ def link_surfaces(
     jaccard_threshold: float = DEFAULT_JACCARD,
     n_hashes: int = 16,
     bands: int = 8,
+    broadcast_alias_limit: int = 5_000_000,
 ) -> DataFrame:
     """mentions -> (surface, canonical_id, link_kind) map.
 
     link_kind: 'alias' (direct dictionary hit), 'lsh' (reached via
     MinHash-LSH + components), 'self' (novel surface, canonical is
     itself).
+
+    The dictionary join broadcasts while the alias table is below
+    ``broadcast_alias_limit`` rows; above it, the join switches to the
+    deterministic salted shuffle join (functions/joins.py) — hot
+    aliases (one surface matched by millions of mentions upstream
+    collapses here to ONE distinct surface, so the dictionary side is
+    the only realistic skew carrier at this stage).
     """
     # vocabulary-sized and reused by every branch below -> checkpoint
     # once; without this the whole upstream plan (incl. the NER stage)
@@ -69,16 +77,31 @@ def link_surfaces(
         .localCheckpoint(eager=True)
     )
     dict_best = best_alias(alias_df)
+    use_broadcast = alias_df.count() <= broadcast_alias_limit
 
-    direct = surfaces.join(
-        F.broadcast(dict_best), surfaces["surface"] == dict_best["alias"], "inner"
-    ).select("surface", F.col("entity_id").alias("canonical_id"))
+    if use_broadcast:
+        direct = surfaces.join(
+            F.broadcast(dict_best), surfaces["surface"] == dict_best["alias"], "inner"
+        ).select("surface", F.col("entity_id").alias("canonical_id"))
+        unlinked = surfaces.join(
+            F.broadcast(dict_best.select("alias")),
+            surfaces["surface"] == F.col("alias"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+    else:
+        from arabicner_spark.functions.joins import salted_join
 
-    unlinked = surfaces.join(
-        F.broadcast(dict_best.select("alias")),
-        surfaces["surface"] == F.col("alias"),
-        "left_anti",
-    ).localCheckpoint(eager=True)
+        joined = salted_join(
+            surfaces.withColumnRenamed("surface", "alias"),
+            dict_best,
+            "alias",
+            salt=16,
+            how="left",
+        ).withColumnRenamed("alias", "surface").localCheckpoint(eager=True)
+        direct = joined.where(F.col("entity_id").isNotNull()).select(
+            "surface", F.col("entity_id").alias("canonical_id")
+        )
+        unlinked = joined.where(F.col("entity_id").isNull()).select("surface")
 
     if unlinked.isEmpty():
         # nothing to block — LSH exists to rescue dictionary misses

@@ -46,17 +46,25 @@ def extract_mentions(
     gazetteer: Dict[str, set],
     max_seq_len: int = tagcore.DEFAULT_MAX_SEQ_LEN,
     salt_partitions: int | None = None,
+    score_fn=None,
 ) -> DataFrame:
     """transcripts -> mentions (schemas.MENTIONS).
 
     ``gazetteer`` is the normalized {type: {phrase tuples}} dict (small;
     broadcast).  ``salt_partitions`` explicitly repartitions the UDF
-    input by (conv_id, turn_idx % TURN_SALT) to break conversation skew;
-    leave None to keep upstream partitioning (tests, tiny inputs).
+    input by (conv_id, turn_idx % TURN_SALT) to break conversation skew.
+
+    ``score_fn(norm_tokens, gaz, types, max_seq_len, enc) -> (T, L, 3)
+    float32`` is the model injection point: anything that emits the
+    BertNestedTagger logit shape (a real transformers checkpoint loaded
+    per-executor, for instance) drops in here — the decode path
+    downstream is shared and unchanged.  Defaults to the deterministic
+    gazetteer scorer (tagcore.score_turn).
     """
     spark = transcripts.sparkSession
     types = tagcore.gazetteer_types(gazetteer)
     bc = spark.sparkContext.broadcast((gazetteer, types, max_seq_len))
+    score_fn = score_fn or tagcore.score_turn
 
     pruned = transcripts.select("conv_id", "turn_idx", "text")
     # Always salt-repartition the Python stage input: (a) a hot conv_id
@@ -89,7 +97,7 @@ def extract_mentions(
                 norm = [[normalize_py(w) for w in ts] for ts in toks]
                 enc = [tagcore.encode_tokens(n, msl) for n in norm]
                 logits = [
-                    tagcore.score_turn(n, pg, typs, msl, enc=e)
+                    score_fn(n, pg, typs, msl, enc=e)
                     for n, e in zip(norm, enc)
                 ]
                 T = max((lg.shape[0] for lg in logits), default=0)

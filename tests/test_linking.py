@@ -94,3 +94,41 @@ def test_salted_join_matches_plain_join(spark):
     plain = {(r.v, r.name) for r in fact.join(dim, "k").collect()}
     salted = {(r.v, r.name) for r in salted_join(fact, dim, "k", salt=4, how="inner").collect()}
     assert plain == salted and len(plain) == 1000
+
+
+def test_salted_alias_path_matches_broadcast(spark):
+    """Forcing the salted shuffle join (broadcast_alias_limit=0) must
+    produce the identical surface map."""
+    df = synth.transcripts_df(spark, n_convs=10, seed=5)
+    m = ner.extract_mentions(df, synth.gazetteer_dict())
+    a = synth.alias_df(spark)
+    bc = {(r.surface, r.canonical_id, r.link_kind)
+          for r in linking.link_surfaces(m, a).collect()}
+    salted = {(r.surface, r.canonical_id, r.link_kind)
+              for r in linking.link_surfaces(m, a, broadcast_alias_limit=0).collect()}
+    assert bc == salted and bc
+
+
+def test_custom_score_fn_injection(spark):
+    """A drop-in scorer that suppresses one level must change decode
+    output accordingly (the model injection point works end-to-end)."""
+    import numpy as np
+
+    from arabicner_spark.functions import tagcore
+
+    def no_gpe_scorer(norm_tokens, pg, types, msl, enc=None):
+        logits = tagcore.score_turn(norm_tokens, pg, types, msl, enc=enc)
+        lvl = types.index("GPE")
+        logits[:, lvl, :] = 0.0
+        logits[:, lvl, tagcore.O_ID] = 1.0
+        return logits
+
+    df = synth.transcripts_df(spark, n_convs=6, seed=5)
+    gaz = synth.gazetteer_dict()
+    base = ner.extract_mentions(df, gaz).collect()
+    custom = ner.extract_mentions(df, gaz, score_fn=no_gpe_scorer).collect()
+    assert any(r.type == "GPE" for r in base)
+    assert not any(r.type == "GPE" for r in custom)
+    assert {(r.conv_id, r.turn_idx, r.level, r.start_tok) for r in custom} == {
+        (r.conv_id, r.turn_idx, r.level, r.start_tok) for r in base if r.type != "GPE"
+    }
