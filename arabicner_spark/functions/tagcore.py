@@ -68,19 +68,26 @@ class PreparedGazetteer:
     so the per-position candidate-length loop disappears).  Prepare
     ONCE per executor/batch, not per turn."""
 
-    __slots__ = ("types", "index")
+    __slots__ = ("types", "index", "merged")
 
     def __init__(self, gaz: Gazetteer):
         self.types = sorted(gaz)
         # {type: {first_token: [(len, phrase_tuple)] longest-first}}
         self.index: Dict[str, Dict[str, list]] = {}
-        for typ in self.types:
+        # {first_token: [(level, len, phrase)]} — ONE lookup per
+        # position serves every BIO head (levels scan independently,
+        # so entries stay grouped by level, longest-first within it)
+        self.merged: Dict[str, list] = {}
+        for lvl, typ in enumerate(self.types):
             by_first: Dict[str, list] = {}
             for phrase in gaz[typ]:
                 if phrase:
                     by_first.setdefault(phrase[0], []).append((len(phrase), phrase))
-            for cands in by_first.values():
+            for first, cands in by_first.items():
                 cands.sort(key=lambda kp: -kp[0])
+                self.merged.setdefault(first, []).extend(
+                    (lvl, k, p) for k, p in cands
+                )
             self.index[typ] = by_first
 
 
@@ -151,6 +158,34 @@ def greedy_match(
     return spans
 
 
+def match_all_spans(
+    norm_tokens: Sequence[str], pg: PreparedGazetteer, n_taggable: int
+) -> List[Tuple[int, int, int]]:
+    """All-level greedy matching in ONE scan: [(level, start, end)].
+
+    Exactly equivalent to running greedy_match per level (candidates in
+    ``pg.merged`` are grouped by level, longest-first within a level;
+    per-level cursors reproduce the consume-and-advance rule) but with
+    a single dict lookup per position instead of L scans.
+    """
+    spans: List[Tuple[int, int, int]] = []
+    cursors: Dict[int, int] = {}
+    merged = pg.merged
+    for i in range(n_taggable):
+        cands = merged.get(norm_tokens[i])
+        if not cands:
+            continue
+        matched_lvl = -1
+        for lvl, k, phrase in cands:
+            if lvl == matched_lvl or cursors.get(lvl, 0) > i or i + k > n_taggable:
+                continue
+            if tuple(norm_tokens[i : i + k]) == phrase:
+                spans.append((lvl, i, i + k))
+                cursors[lvl] = i + k
+                matched_lvl = lvl
+    return spans
+
+
 def score_turn(
     norm_tokens: Sequence[str],
     gaz,
@@ -175,16 +210,15 @@ def score_turn(
     T = n_subwords + 2
     logits = np.zeros((T, len(types), N_LABELS), dtype=np.float32)
     logits[:, :, O_ID] = _LOGIT_BASE
-    visible = norm_tokens[:n_taggable]
-    for lvl, typ in enumerate(types):
-        by_first = pg.index.get(typ)
-        if not by_first:
-            continue
-        for start, end in greedy_match(visible, by_first):
-            # +1 offsets past CLS
-            logits[first_idx[start] + 1, lvl, B_ID] = _LOGIT_HIT
-            for tok in range(start + 1, end):
-                logits[first_idx[tok] + 1, lvl, I_ID] = _LOGIT_HIT
+    # NOTE: when called with an explicit ``types`` subset differing
+    # from pg.types the merged fast path would mis-map levels; pipeline
+    # callers always pass pg.types (or None), asserted cheaply here.
+    assert list(types) == pg.types, "types must be the prepared sorted order"
+    for lvl, start, end in match_all_spans(norm_tokens, pg, n_taggable):
+        # +1 offsets past CLS
+        logits[first_idx[start] + 1, lvl, B_ID] = _LOGIT_HIT
+        for tok in range(start + 1, end):
+            logits[first_idx[tok] + 1, lvl, I_ID] = _LOGIT_HIT
     return logits
 
 

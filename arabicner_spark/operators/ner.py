@@ -82,6 +82,15 @@ def extract_mentions(
         gaz, typs, msl = bc.value
         pg = tagcore.prepare(gaz)  # first-token index, built once per task
         n_levels = len(typs)
+        # normalize is pure; corpora repeat tokens heavily, so a
+        # per-task memo turns most calls into one dict hit
+        norm_cache: dict = {}
+
+        def norm_tok(w):
+            v = norm_cache.get(w)
+            if v is None:
+                v = norm_cache[w] = normalize_py(w)
+            return v
         for pdf in batches:
             texts = pdf["text"].fillna("").tolist()
             convs = pdf["conv_id"].tolist()
@@ -94,7 +103,7 @@ def extract_mentions(
             for lo in range(0, len(texts), COLLATE):
                 chunk = texts[lo : lo + COLLATE]
                 toks = [t.split() for t in chunk]
-                norm = [[normalize_py(w) for w in ts] for ts in toks]
+                norm = [[norm_tok(w) for w in ts] for ts in toks]
                 enc = [tagcore.encode_tokens(n, msl) for n in norm]
                 logits = [
                     score_fn(n, pg, typs, msl, enc=e)
