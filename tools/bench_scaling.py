@@ -117,10 +117,17 @@ def _run_levels(args, work: str, input_path: str) -> None:
     results = []
     for cores in [int(x) for x in args.levels.split(",")]:
         out = os.path.join(work, f"out_{cores}")
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--cores", str(cores), "--input", input_path, "--out", out]
+        # Pin the whole worker (JVM task threads, GC, parquet writers,
+        # Python workers) to exactly `cores` CPUs — a real N-core
+        # executor is capped like this, while an unpinned local[N] JVM
+        # quietly borrows idle cores for its service threads and
+        # flatters the small leg of the scaling comparison.
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--cores", str(cores), "--input", input_path, "--out", out],
-            capture_output=True, text=True, cwd=REPO, timeout=3600,
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if not line:
@@ -149,6 +156,13 @@ the sandbox substitute for N vs 4N executors per driver instruction.
 **Speedup {lo['cores']}->{hi['cores']} cores ({ratio:.0f}x): {speedup:.2f}x;
 scaling efficiency = {speedup:.2f}/{ratio:.0f} = {eff:.2f}**
 (north-rule target >= 0.8).
+
+Methodology: each worker is a fresh process pinned with
+`taskset -c 0-(N-1)` so the N-core leg's JVM service threads and
+Python workers cannot borrow idle cores (a real N-core executor is
+capped the same way); the clock starts after the session is up and the
+input scan is forced, and covers all five checkpointed stages.
+Per-stage wall times land in each run's `_metrics` table.
 
 Reproduce: `python tools/bench_scaling.py --convs {args.convs}`.
 Headline per-query timings at sf0.1: `python bench.py` (see BENCH_r*.json).
