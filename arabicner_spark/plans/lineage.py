@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from dataclasses import dataclass
 from typing import Callable, List, Optional
@@ -86,7 +87,7 @@ class StageRunner:
         t0 = time.time()
         self.io.write(compute(), out_table, partition_by)
         wall_ms = int((time.time() - t0) * 1000)
-        print(f"[stage {stage}] {wall_ms} ms", file=__import__("sys").stderr)
+        print(f"[stage {stage}] {wall_ms} ms", file=sys.stderr)
         written = self.io.read(out_table)
         rows_in = self.io.read(rows_in_of).count() if rows_in_of else 0
         per_part = written.groupBy(
