@@ -609,20 +609,34 @@ SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM sums"""
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+EMB_LSH_BITS = 5
+EMB_LSH_BANDS = 48
+
+
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (round-then-threshold keeps the
-    comparison FP-portable across engines)."""
+    """Embedding-cosine near-dup pairs, sign-LSH blocked.
+
+    Candidate generation is banded random-hyperplane LSH (exact int64
+    fixed-point projections — see hashing.sign_lsh_bands), then exact
+    cosine verification only within candidate buckets.  No cross join,
+    no unbounded broadcast: the candidate join shuffles on (band, sig)
+    and the verify joins shuffle on vec_id, all bounded and spillable.
+    The oracle computes the identical bucketing (md5-derived weights),
+    so parity is by construction; measured recall vs the brute-force
+    pair set is 1.0 at every testdata sf with (5, 48) — see
+    tests/test_dedup_embedding.py and PLANS.md."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    bands = hashing.sign_lsh_bands(
+        e, "vec_id", "v", bits_per_band=EMB_LSH_BITS, n_bands=EMB_LSH_BANDS
+    )
+    pairs = hashing.lsh_candidate_pairs(bands, "vec_id")
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, v: acc + v * v))
-    # precompute norms ONCE per vector (not per pair) — same arithmetic
-    # as the SQL oracle, N x cheaper; left side repartitioned so the
-    # O(N^2) dot products use every core even off a one-split file.
     en = e.withColumn("nrm", norm)
     a = en.select(
         F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
     b = en.select(
         F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
@@ -630,19 +644,51 @@ def q_dedup_embedding(spark, sf_dir):
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("a") < F.col("b"))
+        pairs.join(a, "a")
+        .join(b, "b")
         .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos"))
         .where(F.col("cos") >= 0.45)
     )
 
 
-SQL_DEDUP_EMBEDDING = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT x.vec_id AS a, y.vec_id AS b,
+def _sql_sign_lsh_cte() -> str:
+    """Shared SQL: the exact sign-LSH bucketing of q_dedup_embedding —
+    md5-parity +/-1 hyperplanes, int64 fixed-point projections, banded
+    signatures, candidate pairs — over CTE ``e`` providing (vec_id, v)."""
+    H = EMB_LSH_BITS * EMB_LSH_BANDS
+    return f"""
+w AS (
+  SELECT CAST(t1.range AS INTEGER) AS j, CAST(t2.range AS INTEGER) AS i,
+         CASE WHEN (instr('0123456789abcdef',
+                          substr(md5(CAST(t1.range AS VARCHAR) || '|' ||
+                                     CAST(t2.range AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS wt
+  FROM range({H}) t1, range(64) t2
+),
+proj AS (
+  SELECT e.vec_id, w.j,
+         sum(CAST(w.wt AS BIGINT) * CAST(floor(e.v[w.i + 1] * 1000000.0) AS BIGINT)) AS p
+  FROM e CROSS JOIN w GROUP BY e.vec_id, w.j
+),
+sigs AS (
+  SELECT vec_id, CAST(j // {EMB_LSH_BITS} AS INTEGER) AS band,
+         string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+  FROM proj GROUP BY vec_id, j // {EMB_LSH_BITS}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM sigs x JOIN sigs y
+    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+)"""
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_sign_lsh_cte()}
+SELECT c.a, c.b,
        round(list_dot_product(x.v, y.v) /
              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
-FROM e x JOIN e y ON x.vec_id < y.vec_id
+FROM cand c JOIN e x ON x.vec_id = c.a JOIN e y ON y.vec_id = c.b
 WHERE round(list_dot_product(x.v, y.v) /
             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.45"""
 
