@@ -110,10 +110,14 @@ def subword_lengths(tokens: Sequence[str]) -> np.ndarray:
     return np.maximum(1, -(-lens // SUBWORD_CHARS))
 
 
-def encode_tokens(
-    tokens: Sequence[str], max_seq_len: int = DEFAULT_MAX_SEQ_LEN
+def encode_from_lengths(
+    sub_lens: np.ndarray, max_seq_len: int = DEFAULT_MAX_SEQ_LEN
 ) -> Tuple[np.ndarray, int, int]:
-    """Return (first_subword_idx, n_subwords_kept, n_taggable_tokens).
+    """Alignment + truncation math shared by every encoder.
+
+    Given per-token subword counts (from ANY tokenizer — the stand-in
+    chunker or a real WordPiece via functions.bert_scorer), return
+    (first_subword_idx, n_subwords_kept, n_taggable_tokens).
 
     ``first_subword_idx[i]`` is the 0-based position of token i's first
     subword inside the (pre-CLS/SEP) subword sequence.  A token is
@@ -121,13 +125,19 @@ def encode_tokens(
     ``max_seq_len - 2`` pieces — exactly which tags survive the
     reference's list slicing at arabiner/data/transforms.py:101-107.
     """
-    sub_lens = subword_lengths(tokens)
     ends = np.cumsum(sub_lens)
     first_idx = ends - sub_lens
     budget = max_seq_len - 2
     n_taggable = int(np.searchsorted(first_idx, budget, side="left"))
-    n_subwords = int(min(ends[-1] if len(tokens) else 0, budget))
+    n_subwords = int(min(ends[-1] if len(sub_lens) else 0, budget))
     return first_idx, n_subwords, n_taggable
+
+
+def encode_tokens(
+    tokens: Sequence[str], max_seq_len: int = DEFAULT_MAX_SEQ_LEN
+) -> Tuple[np.ndarray, int, int]:
+    """Stand-in encoder: chunk lengths -> shared alignment math."""
+    return encode_from_lengths(subword_lengths(tokens), max_seq_len)
 
 
 def greedy_match(
@@ -167,6 +177,15 @@ def match_all_spans(
     ``pg.merged`` are grouped by level, longest-first within a level;
     per-level cursors reproduce the consume-and-advance rule) but with
     a single dict lookup per position instead of L scans.
+
+    Truncation rule, reference-faithful: the reference SLICES the tag
+    lists at the subword budget (arabiner/data/transforms.py:101-107),
+    so a span that STRADDLES the boundary keeps its B-/I- prefix and
+    decodes as a partial span — here, matching runs over the full token
+    sequence and only the emitted end is clamped to ``n_taggable``
+    (greedy consumption still advances past the full phrase).  Spans
+    starting at/after the boundary lose their B- and are dropped
+    entirely, as in the reference.
     """
     spans: List[Tuple[int, int, int]] = []
     cursors: Dict[int, int] = {}
@@ -177,10 +196,10 @@ def match_all_spans(
             continue
         matched_lvl = -1
         for lvl, k, phrase in cands:
-            if lvl == matched_lvl or cursors.get(lvl, 0) > i or i + k > n_taggable:
+            if lvl == matched_lvl or cursors.get(lvl, 0) > i:
                 continue
             if tuple(norm_tokens[i : i + k]) == phrase:
-                spans.append((lvl, i, i + k))
+                spans.append((lvl, i, min(i + k, n_taggable)))
                 cursors[lvl] = i + k
                 matched_lvl = lvl
     return spans

@@ -89,15 +89,19 @@ def link_surfaces(
             "left_anti",
         ).localCheckpoint(eager=True)
     else:
-        from arabicner_spark.functions.joins import salted_join
-
-        joined = salted_join(
-            surfaces.withColumnRenamed("surface", "alias"),
-            dict_best,
-            "alias",
-            salt=16,
-            how="left",
-        ).withColumnRenamed("alias", "surface").localCheckpoint(eager=True)
+        # surfaces is DISTINCT — every join key appears exactly once on
+        # the fact side, so no key can be hot and salting would only pay
+        # S-fold dict replication for nothing (a salt derived from the
+        # lone key column would be a pure function of it anyway).  A
+        # plain shuffle join is the right plan; AQE splits any residual
+        # partition imbalance.  salted_join remains the tool for joins
+        # whose FACT side repeats hot keys (e.g. raw mentions -> dict).
+        joined = (
+            surfaces.withColumnRenamed("surface", "alias")
+            .join(dict_best, "alias", "left")
+            .withColumnRenamed("alias", "surface")
+            .localCheckpoint(eager=True)
+        )
         direct = joined.where(F.col("entity_id").isNotNull()).select(
             "surface", F.col("entity_id").alias("canonical_id")
         )

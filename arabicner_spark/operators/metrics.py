@@ -65,6 +65,92 @@ def per_type_report(gold: DataFrame, pred: DataFrame, keys=None) -> DataFrame:
     )
 
 
+def token_tags(spans: DataFrame, keys=("conv_id", "turn_idx", "level")) -> DataFrame:
+    """Span rows -> exploded BIO token tags (*keys, pos, tag).
+
+    Within one level spans never overlap (the BIO head can express only
+    one segmentation), so (*keys, pos) is unique.  Positions covered by
+    no span carry the implicit "O" and are NOT emitted — consumers
+    treat absence as "O".
+    """
+    pos = F.explode(F.sequence(F.col("start_tok"), F.col("end_tok") - 1)).alias("pos")
+    return spans.select(*keys, "type", "start_tok", pos).select(
+        *keys,
+        "pos",
+        F.when(
+            F.col("pos") == F.col("start_tok"), F.concat(F.lit("B-"), "type")
+        )
+        .otherwise(F.concat(F.lit("I-"), "type"))
+        .alias("tag"),
+    )
+
+
+def nested_metrics(
+    gold: DataFrame, pred: DataFrame, turn_tokens: DataFrame, n_levels: int
+) -> SimpleNamespace:
+    """The reference's full nested report — micro/macro/weighted P/R/F1
+    plus token accuracy (arabiner/utils/metrics.py:31-46, seqeval IOB2).
+
+    seqeval semantics reproduced:
+      * micro: pooled span counts (span_prf);
+      * macro: unweighted mean of per-type F1 over every type present
+        in gold OR pred;
+      * weighted: per-type F1 weighted by GOLD support (types with no
+        gold spans contribute 0 weight);
+      * accuracy: token-level tag equality over the dataset duplicated
+        once per level (seqeval.accuracy_score flattens exactly that),
+        with un-spanned positions counting as "O".
+
+    ``turn_tokens`` is (conv_id, turn_idx, n_tokens); only per-type
+    counts (a #types-row frame) and two scalars reach the driver.
+    """
+    micro = span_prf(gold, pred)
+    g = gold.select(*SPAN_KEYS).distinct()
+    p = pred.select(*SPAN_KEYS).distinct()
+    tp = g.join(p, SPAN_KEYS, "inner").groupBy("type").agg(F.count("*").alias("tp"))
+    counts = (
+        g.groupBy("type").agg(F.count("*").alias("n_gold"))
+        .join(p.groupBy("type").agg(F.count("*").alias("n_pred")), "type", "full")
+        .join(tp, "type", "left")
+        .fillna(0, ["n_gold", "n_pred", "tp"])
+        .collect()  # one row per entity type — vocabulary-sized
+    )
+    f1s, weights = [], []
+    for r in counts:
+        prec = r.tp / r.n_pred if r.n_pred else 0.0
+        rec = r.tp / r.n_gold if r.n_gold else 0.0
+        f1s.append(2 * prec * rec / (prec + rec) if prec + rec else 0.0)
+        weights.append(r.n_gold)
+    macro_f1 = sum(f1s) / len(f1s) if f1s else 0.0
+    total_w = sum(weights)
+    weighted_f1 = (
+        sum(f * w for f, w in zip(f1s, weights)) / total_w if total_w else 0.0
+    )
+
+    keys = ["conv_id", "turn_idx", "level", "pos"]
+    gt = token_tags(gold).withColumnRenamed("tag", "g")
+    pt = token_tags(pred).withColumnRenamed("tag", "p")
+    mismatches = (
+        gt.join(pt, keys, "full")
+        .where(
+            F.coalesce("g", F.lit("O")) != F.coalesce("p", F.lit("O"))
+        )
+        .count()
+    )
+    total_row = turn_tokens.agg(F.sum("n_tokens")).first()[0]
+    total = (total_row or 0) * n_levels
+    accuracy = (total - mismatches) / total if total else 1.0
+
+    return SimpleNamespace(
+        micro_f1=micro.f1,
+        macro_f1=macro_f1,
+        weights_f1=weighted_f1,
+        precision=micro.precision,
+        recall=micro.recall,
+        accuracy=accuracy,
+    )
+
+
 def triple_prf(gold: DataFrame, pred: DataFrame) -> SimpleNamespace:
     """BASELINE.json headline: P/R over the emitted (subj, pred, obj)
     set (full triple identity incl. location columns)."""

@@ -41,40 +41,23 @@ from arabicner_spark.functions.normalize import normalize_py
 TURN_SALT = 16  # spreads one hot conv over up to 16 tasks
 
 
-def extract_mentions(
-    transcripts: DataFrame,
-    gazetteer: Dict[str, set],
-    max_seq_len: int = tagcore.DEFAULT_MAX_SEQ_LEN,
-    salt_partitions: int | None = None,
-    score_fn=None,
-) -> DataFrame:
-    """transcripts -> mentions (schemas.MENTIONS).
+def make_score_batches(bc, score_fn=None, encoder=None, passthrough: tuple = ()):
+    """Build the Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] scoring
+    closure — the ONE implementation of the fused encode/score/decode
+    loop, shared by the batch stage (extract_mentions) and the streaming
+    stage (streaming/ingest.streaming_mentions).
 
-    ``gazetteer`` is the normalized {type: {phrase tuples}} dict (small;
-    broadcast).  ``salt_partitions`` explicitly repartitions the UDF
-    input by (conv_id, turn_idx % TURN_SALT) to break conversation skew.
-
-    ``score_fn(norm_tokens, gaz, types, max_seq_len, enc) -> (T, L, 3)
-    float32`` is the model injection point: anything that emits the
-    BertNestedTagger logit shape (a real transformers checkpoint loaded
-    per-executor, for instance) drops in here — the decode path
-    downstream is shared and unchanged.  Defaults to the deterministic
-    gazetteer scorer (tagcore.score_turn).
+    ``bc`` broadcasts (gazetteer, types, max_seq_len).  ``score_fn(
+    norm_tokens, gaz, types, max_seq_len, enc) -> (T, L, 3) float32`` is
+    the model injection point; ``encoder(norm_tokens, max_seq_len) ->
+    (first_subword_idx, n_subwords, n_taggable, ...)`` is the tokenizer
+    injection point (a real WordPiece encoder from
+    functions.bert_scorer drops in here; default = tagcore's stand-in).
+    ``passthrough`` columns are copied verbatim from each input turn
+    onto its emitted mention rows (the streaming path carries ``ts``).
     """
-    spark = transcripts.sparkSession
-    types = tagcore.gazetteer_types(gazetteer)
-    bc = spark.sparkContext.broadcast((gazetteer, types, max_seq_len))
     score_fn = score_fn or tagcore.score_turn
-
-    pruned = transcripts.select("conv_id", "turn_idx", "text")
-    # Always salt-repartition the Python stage input: (a) a hot conv_id
-    # must not land in one Arrow batch (skew), (b) a single-split scan
-    # (one parquet file) must not serialize the whole NER stage onto one
-    # core.  Default width = cluster parallelism.
-    n_parts = salt_partitions or spark.sparkContext.defaultParallelism
-    pruned = pruned.repartition(
-        n_parts, "conv_id", F.pmod("turn_idx", F.lit(TURN_SALT))
-    )
+    encoder = encoder or tagcore.encode_tokens
 
     COLLATE = 256  # reference batch granularity (bin/train.py:70-74)
 
@@ -95,7 +78,10 @@ def extract_mentions(
             texts = pdf["text"].fillna("").tolist()
             convs = pdf["conv_id"].tolist()
             turns = pdf["turn_idx"].tolist()
+            extra = {c: pdf[c].tolist() for c in passthrough}
             out = {k: [] for k in schemas.MENTIONS.fieldNames()}
+            for c in passthrough:
+                out[c] = []
             # collate in sub-batches with pad-to-SUB-batch-max (the
             # reference's dynamic padding, datasets.py:139-148): one
             # 600-token turn must not blow the padded tensor up to
@@ -104,7 +90,7 @@ def extract_mentions(
                 chunk = texts[lo : lo + COLLATE]
                 toks = [t.split() for t in chunk]
                 norm = [[norm_tok(w) for w in ts] for ts in toks]
-                enc = [tagcore.encode_tokens(n, msl) for n in norm]
+                enc = [encoder(n, msl) for n in norm]
                 logits = [
                     score_fn(n, pg, typs, msl, enc=e)
                     for n, e in zip(norm, enc)
@@ -117,7 +103,8 @@ def extract_mentions(
                 for i, lg in enumerate(logits):
                     batch[i, : lg.shape[0]] = lg
                 ids = np.argmax(batch, axis=-1)  # (B, T, L)
-                for i, (first_idx, _, n_tag) in enumerate(enc):
+                for i, e in enumerate(enc):
+                    first_idx, n_tag = e[0], e[2]
                     spans = tagcore.decode_turn(
                         # decode_turn argmaxes again; hand it the
                         # one-turn slice as a one-hot rebuild to keep
@@ -125,15 +112,17 @@ def extract_mentions(
                         _onehot(ids[i]), first_idx, n_tag, typs
                     )
                     gi = lo + i
-                    for lvl, typ, s, e in spans:
+                    for lvl, typ, s, en in spans:
                         out["conv_id"].append(convs[gi])
                         out["turn_idx"].append(turns[gi])
                         out["level"].append(lvl)
                         out["type"].append(typ)
                         out["start_tok"].append(s)
-                        out["end_tok"].append(e)
-                        out["text"].append(" ".join(toks[i][s:e]))
-            yield pd.DataFrame(out).astype(
+                        out["end_tok"].append(en)
+                        out["text"].append(" ".join(toks[i][s:en]))
+                        for c in passthrough:
+                            out[c].append(extra[c][gi])
+            res = pd.DataFrame(out).astype(
                 {
                     "turn_idx": "int32",
                     "level": "int32",
@@ -141,7 +130,47 @@ def extract_mentions(
                     "end_tok": "int32",
                 }
             )
+            for c in passthrough:
+                # empty batches must not degrade e.g. timestamp to float64
+                res[c] = res[c].astype(pdf[c].dtype)
+            yield res
 
+    return score_batches
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    gazetteer: Dict[str, set],
+    max_seq_len: int = tagcore.DEFAULT_MAX_SEQ_LEN,
+    salt_partitions: int | None = None,
+    score_fn=None,
+    encoder=None,
+) -> DataFrame:
+    """transcripts -> mentions (schemas.MENTIONS).
+
+    ``gazetteer`` is the normalized {type: {phrase tuples}} dict (small;
+    broadcast).  ``salt_partitions`` explicitly repartitions the UDF
+    input by (conv_id, turn_idx % TURN_SALT) to break conversation skew.
+
+    ``score_fn`` / ``encoder`` plug in a real model + tokenizer (see
+    make_score_batches and functions.bert_scorer.attach); defaults are
+    the deterministic gazetteer scorer + stand-in chunker.
+    """
+    spark = transcripts.sparkSession
+    types = tagcore.gazetteer_types(gazetteer)
+    bc = spark.sparkContext.broadcast((gazetteer, types, max_seq_len))
+
+    pruned = transcripts.select("conv_id", "turn_idx", "text")
+    # Always salt-repartition the Python stage input: (a) a hot conv_id
+    # must not land in one Arrow batch (skew), (b) a single-split scan
+    # (one parquet file) must not serialize the whole NER stage onto one
+    # core.  Default width = cluster parallelism.
+    n_parts = salt_partitions or spark.sparkContext.defaultParallelism
+    pruned = pruned.repartition(
+        n_parts, "conv_id", F.pmod("turn_idx", F.lit(TURN_SALT))
+    )
+
+    score_batches = make_score_batches(bc, score_fn=score_fn, encoder=encoder)
     return pruned.mapInPandas(score_batches, schema=schemas.MENTIONS)
 
 

@@ -21,6 +21,7 @@ import os
 from typing import Dict, Optional
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from arabicner_spark import schemas
 from arabicner_spark.functions import tagcore
@@ -41,10 +42,12 @@ def evaluate_file(
 
     rows = conll.segments_to_transcript_rows(segments)
     df = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
-    pred_rows = ner.extract_mentions(df, gaz).collect()
+    # reused by three metric joins and the prediction sink — materialize
+    # the Python stage once; NO driver-side collect of mentions
+    pred_df = ner.extract_mentions(df, gaz).localCheckpoint(eager=True)
 
-    # span frames for the metrics joins; gold levels are indexes into
-    # the PREDICTION type list so levels line up
+    # gold spans come from the driver-side CoNLL fixture parse (that is
+    # the input, not a collect); levels index the prediction type list
     span_schema = (
         "conv_id string, turn_idx int, level int, type string, "
         "start_tok int, end_tok int"
@@ -57,41 +60,55 @@ def evaluate_file(
             (f"wojood_{si // 50:05d}", si % 50, types.index(typ), typ, s, e)
         )
     gold_df = spark.createDataFrame(gold, span_schema)
-    pred_df = spark.createDataFrame(
-        [(m.conv_id, m.turn_idx, m.level, m.type, m.start_tok, m.end_tok) for m in pred_rows],
-        span_schema,
-    )
     micro = metrics.span_prf(gold_df, pred_df)
     report = metrics.per_type_report(gold_df, pred_df).orderBy("type")
 
-    # predictions_{filename} in the reference sink format
-    by_turn: Dict[tuple, list] = {}
-    for m in pred_rows:
-        si = int(m.conv_id.split("_")[1]) * 50 + m.turn_idx
-        by_turn.setdefault(si, []).append(m)
-    tok_rows = []
+    # token/gold base rows ARE the parsed fixture; predicted per-level
+    # tags attach via joins (token_tags -> level->tag map per position)
+    base_rows = []
     for si, seg in enumerate(segments):
-        tags = [["O"] * len(types) for _ in seg]
-        for m in by_turn.get(si, []):
-            tags[m.start_tok][m.level] = f"B-{m.type}"
-            for pos in range(m.start_tok + 1, m.end_tok):
-                tags[pos][m.level] = f"I-{m.type}"
         for pos, (tok, gold_tags) in enumerate(seg):
-            tok_rows.append((si, pos, tok, gold_tags, tags[pos]))
-    toks_df = spark.createDataFrame(
-        tok_rows,
-        "seg_id long, pos int, token string, gold_tags array<string>, pred_tags array<string>",
+            base_rows.append(
+                (f"wojood_{si // 50:05d}", si % 50, si, pos, tok, gold_tags)
+            )
+    base = spark.createDataFrame(
+        base_rows,
+        "conv_id string, turn_idx int, seg_id long, pos int, "
+        "token string, gold_tags array<string>",
+    )
+    tag_map = (
+        metrics.token_tags(pred_df)
+        .groupBy("conv_id", "turn_idx", "pos")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("level", "tag"))).alias("m")
+        )
+    )
+    pred_tags = F.transform(
+        F.sequence(F.lit(0), F.lit(len(types) - 1)),
+        lambda lvl: F.coalesce(F.element_at("m", lvl), F.lit("O")),
+    )
+    toks_df = base.join(tag_map, ["conv_id", "turn_idx", "pos"], "left").select(
+        "seg_id", "pos", "token", "gold_tags", pred_tags.alias("pred_tags")
     )
     out = os.path.join(output_path, f"predictions_{os.path.basename(path)}")
     predictions.write_predictions(toks_df, out)
+
+    turn_tokens = base.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_tokens")
+    )
+    nested = metrics.nested_metrics(gold_df, pred_df, turn_tokens, len(types))
 
     print(f"== {os.path.basename(path)} ==")
     print(
         f"micro: P={micro.precision:.4f} R={micro.recall:.4f} F1={micro.f1:.4f} "
         f"(tp={micro.tp} gold={micro.n_gold} pred={micro.n_pred})"
     )
+    print(
+        f"macro_f1={nested.macro_f1:.4f} weights_f1={nested.weights_f1:.4f} "
+        f"accuracy={nested.accuracy:.4f}"
+    )
     report.show(100, truncate=False)
-    return micro
+    return nested
 
 
 def main() -> None:

@@ -68,9 +68,19 @@ class StageRunner:
             )
         os.replace(tmp, self._manifest_path(stage))  # atomic
 
-    def _append_metrics(self, rows: DataFrame) -> None:
-        path = os.path.join(self.io.root, "_metrics")
-        rows.write.mode("append").parquet(path)
+    def _write_metrics(self, stage: str, rows: DataFrame) -> None:
+        """Overwrite THIS stage's metrics partition (stage=<name> dir).
+
+        An append here would duplicate rows if a run died in the window
+        between the metrics write and the manifest write (the rerun
+        recomputes the stage); per-stage overwrite makes the metrics
+        table last-writer-wins exactly like the manifests, so resume
+        stays duplicate-free (asserted in tests/test_resume.py).
+        Readers load the _metrics root and get ``stage`` back as the
+        partition column.
+        """
+        path = os.path.join(self.io.root, "_metrics", f"stage={stage}")
+        rows.drop("stage").write.mode("overwrite").parquet(path)
 
     def run(
         self,
@@ -102,6 +112,6 @@ class StageRunner:
             F.lit(wall_ms).cast("bigint").alias("wall_ms"),
             F.lit(self.run_id).alias("run_id"),
         )
-        self._append_metrics(metrics)
+        self._write_metrics(stage, metrics)
         self._write_manifest(stage)
         return written

@@ -17,6 +17,14 @@ path (kg_mentions_bio) provably emits exactly the all-occurrences
 n-gram match set, which IS expressible in SQL; that gives the
 mapInPandas NER stage a full-strength SQL oracle instead of a weaker
 rows-only check.
+
+PRECONDITIONS of that kg_mentions_bio parity (besides gazetteer word-
+disjointness): documents.text must be single-space separated with no
+edge spaces (the BIO path str.split()s, the oracle string_split()s raw
+text), normalization-fixed (lowercase, nothing Arabic-foldable), and
+under the 510-subword budget (the oracle does not model truncation).
+tests/test_testdata_preconditions.py asserts all three per sf dir so a
+testdata refresh fails with a diagnosis, not a bare hash MISMATCH.
 """
 
 from __future__ import annotations
@@ -192,13 +200,17 @@ def q_kg_transcripts(spark, sf_dir):
 SQL_KG_TRANSCRIPTS = f"WITH {_SQL_T} SELECT conv_id, turn_idx, role, text, tool, ts_epoch FROM t"
 
 
-def _mentions_ngram(spark, sf_dir):
+def _mentions_ngram(spark, sf_dir, gaz_rows=None):
     """Declarative gazetteer scan with ZERO shuffles before the
     broadcast join: candidate n-grams are generated as array
     expressions over the split token array (no window, no posexplode
     self-union — an earlier version paid a window shuffle and ran the
     scan subtree twice), so the plan is scan -> codegen explode ->
-    broadcast hash join, fully pipelined at any scale."""
+    broadcast hash join, fully pipelined at any scale.
+
+    ``gaz_rows``: optional (phrase, type, len) list overriding GAZ
+    (levels still index the GLOBAL sorted type list so two gazetteer
+    variants stay level-compatible for evaluation joins)."""
     t = transcripts(spark, sf_dir)
     arr = F.split("text", " ")
     t = t.select("conv_id", "turn_idx", arr.alias("arr"))
@@ -230,7 +242,13 @@ def _mentions_ngram(spark, sf_dir):
             F.flatten(F.transform(F.sequence(F.lit(0), F.size("arr") - 1), cands))
         ).alias("c"),
     )
-    g = gaz_df(spark)
+    if gaz_rows is None:
+        g = gaz_df(spark)
+    else:
+        g = spark.createDataFrame(
+            [(p, t_, TYPES.index(t_), n) for p, t_, n in gaz_rows],
+            "phrase string, type string, level int, len int",
+        )
     return exploded.join(
         F.broadcast(g),
         on=[F.col("c.ng") == g["phrase"], F.col("c.len") == g["len"]],
@@ -1041,6 +1059,232 @@ SELECT user_id, count(*) AS n_events,
 FROM g GROUP BY user_id"""
 
 
+# ------------------------------------------------------ vocab / eval family
+
+# pred-side gazetteer for the evaluation queries: "scan" dropped (recall
+# loss on KEYW... no—KEYW keeps join/sort/filter; scan's hits become
+# misses) and "vector" re-typed OBJ->KEYW (false positives on KEYW,
+# false negatives on OBJ) — exercises P<1 AND R<1 per type.
+GAZ_PRED = [r for r in GAZ if r[0] not in ("scan", "vector")] + [
+    ("vector", "KEYW", 1)
+]
+
+
+def q_vocab_tokens(spark, sf_dir):
+    """Operator #5 (first-appearance vocab, arabiner/utils/data.py:12-25,
+    66-78) over the documents token stream: id = rank of the token's
+    first global position — the REAL operators/vocab.py operator."""
+    from arabicner_spark.operators.vocab import first_appearance_vocab
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    items = toks.select(
+        F.col("w").alias("token"),
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("pos")).alias("gpos"),
+    )
+    v = first_appearance_vocab(items, "token", "gpos")
+    return v.select(
+        F.col("item").alias("token"),
+        F.col("id").cast("int").alias("id"),
+        F.col("count").cast("bigint").alias("n"),
+    )
+
+
+SQL_VOCAB_TOKENS = """
+WITH tok AS (
+  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT w AS token, min(doc_id * 1000000 + pos) AS first_pos, count(*) AS n
+  FROM tok GROUP BY w
+)
+SELECT token, CAST(row_number() OVER (ORDER BY first_pos) - 1 AS INTEGER) AS id, n
+FROM agg"""
+
+
+def q_vocab_tag_levels(spark, sf_dir):
+    """Operator #6 (per-type tag vocab, arabiner/utils/data.py:82-93):
+    per level, B-/I- tags in first-appearance corpus order with "O"
+    appended last (tag_id = #BI tags)."""
+    m = _mentions_ngram(spark, sf_dir)
+    conv_num = F.substring("conv_id", 6, 4).cast("int")
+    doc_id = F.col("turn_idx") * F.lit(N_CONVS) + conv_num
+    b = m.select(
+        "level", "type", F.lit("B").alias("k"),
+        (doc_id * 4096 + F.col("start_tok")).alias("gpos"),
+    )
+    i = m.where(F.col("end_tok") - F.col("start_tok") >= 2).select(
+        "level", "type", F.lit("I").alias("k"),
+        (doc_id * 4096 + F.col("start_tok") + 1).alias("gpos"),
+    )
+    tags = b.unionByName(i).groupBy("level", "type", "k").agg(
+        F.min("gpos").alias("first_pos")
+    )
+    w = Window.partitionBy("level").orderBy("first_pos", "k")
+    bi = tags.select(
+        "level", "type",
+        F.concat("k", F.lit("-"), "type").alias("tag"),
+        (F.row_number().over(w) - 1).cast("int").alias("tag_id"),
+    )
+    o = tags.groupBy("level", "type").agg(
+        F.count("*").cast("int").alias("tag_id")
+    ).select("level", "type", F.lit("O").alias("tag"), "tag_id")
+    return bi.unionByName(o)
+
+
+SQL_VOCAB_TAG_LEVELS = f"""WITH {_SQL_T}, {_SQL_MEN},
+ev AS (
+  SELECT level, type, 'B' AS k,
+         (turn_idx * {N_CONVS} + CAST(substr(conv_id, 6, 4) AS INTEGER)) * 4096
+           + start_tok AS gpos
+  FROM men
+  UNION ALL
+  SELECT level, type, 'I' AS k,
+         (turn_idx * {N_CONVS} + CAST(substr(conv_id, 6, 4) AS INTEGER)) * 4096
+           + start_tok + 1 AS gpos
+  FROM men WHERE end_tok - start_tok >= 2
+),
+tags AS (SELECT level, type, k, min(gpos) AS first_pos FROM ev GROUP BY level, type, k),
+bi AS (
+  SELECT level, type, k || '-' || type AS tag,
+         CAST(row_number() OVER (PARTITION BY level ORDER BY first_pos, k) - 1
+              AS INTEGER) AS tag_id
+  FROM tags
+),
+o AS (SELECT level, type, 'O' AS tag, CAST(count(*) AS INTEGER) AS tag_id
+      FROM tags GROUP BY level, type)
+SELECT level, type, tag, tag_id FROM bi
+UNION ALL SELECT level, type, tag, tag_id FROM o"""
+
+
+def _sql_men_for(gaz_rows, gname: str, mname: str) -> str:
+    """A second men-style CTE over the shared tok/tok2 CTEs (which come
+    from _SQL_MEN) for an alternate gazetteer."""
+    vals = ", ".join(
+        f"('{p}', '{t}', {TYPES.index(t)}, {n})" for p, t, n in gaz_rows
+    )
+    return f"""
+{gname}(phrase, type, level, len) AS (VALUES {vals}),
+{mname} AS (
+  SELECT tok2.conv_id, tok2.turn_idx, g.level, g.type,
+         pos AS start_tok, CAST(pos + 1 AS INTEGER) AS end_tok
+  FROM tok2 JOIN {gname} g ON g.len = 1 AND g.phrase = w
+  UNION ALL
+  SELECT tok2.conv_id, tok2.turn_idx, g.level, g.type,
+         pos AS start_tok, CAST(pos + 2 AS INTEGER) AS end_tok
+  FROM tok2 JOIN {gname} g ON g.len = 2 AND w2 IS NOT NULL AND g.phrase = w || ' ' || w2
+)"""
+
+
+def q_eval_per_type_prf(spark, sf_dir):
+    """Operator #17 (span-set P/R/F1 per type, the seqeval-style report
+    as DataFrame joins — operators/metrics.py) gating query: gold =
+    full-gazetteer mentions, pred = GAZ_PRED mentions."""
+    from arabicner_spark.operators import metrics
+
+    gold = _mentions_ngram(spark, sf_dir)
+    pred = _mentions_ngram(spark, sf_dir, gaz_rows=GAZ_PRED)
+    rep = metrics.per_type_report(gold, pred)
+    return rep.select(
+        "type",
+        F.col("n_gold").cast("bigint").alias("n_gold"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("tp").cast("bigint").alias("tp"),
+        "precision", "recall", "f1",
+    )
+
+
+SQL_EVAL_PER_TYPE_PRF = f"""WITH {_SQL_T}, {_SQL_MEN},
+{_sql_men_for(GAZ_PRED, 'gaz2', 'men2')},
+g AS (SELECT DISTINCT conv_id, turn_idx, level, type, start_tok, end_tok FROM men),
+p AS (SELECT DISTINCT conv_id, turn_idx, level, type, start_tok, end_tok FROM men2),
+tpc AS (
+  SELECT g.type, count(*) AS tp
+  FROM g JOIN p USING (conv_id, turn_idx, level, type, start_tok, end_tok)
+  GROUP BY g.type
+),
+ng AS (SELECT type, count(*) AS n_gold FROM g GROUP BY type),
+np AS (SELECT type, count(*) AS n_pred FROM p GROUP BY type),
+rep AS (
+  SELECT coalesce(ng.type, np.type) AS type,
+         coalesce(n_gold, 0) AS n_gold, coalesce(n_pred, 0) AS n_pred
+  FROM ng FULL JOIN np ON ng.type = np.type
+),
+rep2 AS (
+  SELECT rep.type, n_gold, n_pred, coalesce(tpc.tp, 0) AS tp
+  FROM rep LEFT JOIN tpc ON rep.type = tpc.type
+),
+rep3 AS (
+  SELECT type, CAST(n_gold AS BIGINT) AS n_gold, CAST(n_pred AS BIGINT) AS n_pred,
+         CAST(tp AS BIGINT) AS tp,
+         CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END AS p_,
+         CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END AS r_
+  FROM rep2
+)
+SELECT type, n_gold, n_pred, tp,
+       round(p_, 4) AS "precision", round(r_, 4) AS recall,
+       round(CASE WHEN p_ + r_ > 0 THEN 2 * p_ * r_ / (p_ + r_) ELSE 0 END, 4) AS f1
+FROM rep3"""
+
+
+def q_eval_predictions_lines(spark, sf_dir):
+    """Operator #20 (prediction sink format, Token.__str__ rows +
+    blank-line segment separators — sources/predictions.py, mirroring
+    arabiner/trainers/BaseTrainer.py:71-82) as a gated query: documents
+    are the segments, per-level BIO tags from the mention scan."""
+    from arabicner_spark.operators import metrics
+    from arabicner_spark.sources.predictions import predictions_lines
+
+    t = transcripts(spark, sf_dir)
+    m = _mentions_ngram(spark, sf_dir)
+    conv_num = F.substring("conv_id", 6, 4).cast("int")
+    toks = t.select(
+        (F.col("turn_idx") * F.lit(N_CONVS) + conv_num).alias("seg_id"),
+        "conv_id", "turn_idx",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+    tag_map = (
+        metrics.token_tags(m)
+        .groupBy("conv_id", "turn_idx", "pos")
+        .agg(F.map_from_entries(F.collect_list(F.struct("level", "tag"))).alias("mp"))
+    )
+    tags_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(len(TYPES) - 1)),
+        lambda lvl: F.coalesce(F.element_at("mp", lvl), F.lit("O")),
+    )
+    toks_df = toks.join(tag_map, ["conv_id", "turn_idx", "pos"], "left").select(
+        "seg_id", "pos", "token",
+        tags_arr.alias("gold_tags"), tags_arr.alias("pred_tags"),
+    )
+    return predictions_lines(toks_df)
+
+
+SQL_EVAL_PREDICTIONS = f"""WITH {_SQL_T}, {_SQL_MEN},
+mtag AS (
+  SELECT conv_id, turn_idx, level, type, start_tok,
+         unnest(generate_series(0, end_tok - start_tok - 1)) AS off
+  FROM men
+),
+mtag2 AS (
+  SELECT conv_id, turn_idx, level, start_tok + off AS pos,
+         CASE WHEN off = 0 THEN 'B-' || type ELSE 'I-' || type END AS tag
+  FROM mtag
+),
+lv AS (SELECT unnest(generate_series(0, {len(TYPES) - 1})) AS level),
+ptags AS (
+  SELECT td.conv_id, td.turn_idx, td.pos, td.w,
+         string_agg(coalesce(m2.tag, 'O'), '|' ORDER BY lv.level) AS tags
+  FROM tok td CROSS JOIN lv
+  LEFT JOIN mtag2 m2 ON m2.conv_id = td.conv_id AND m2.turn_idx = td.turn_idx
+                    AND m2.pos = td.pos AND m2.level = lv.level
+  GROUP BY td.conv_id, td.turn_idx, td.pos, td.w
+)
+SELECT w || chr(9) || tags || chr(9) || tags AS value FROM ptags
+UNION ALL SELECT '' AS value FROM documents"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1072,4 +1316,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
+    "vocab_tokens": (q_vocab_tokens, SQL_VOCAB_TOKENS),
+    "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),
+    "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
+    "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
 }

@@ -26,50 +26,23 @@ def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 
 def streaming_mentions(stream: DataFrame, gazetteer) -> DataFrame:
-    """The SAME extract_mentions stage over a streaming frame, minus the
-    repartition (stateless map — no shuffle allowed before a stateless
-    sink; partitioning is the source's concern in streaming)."""
-    from arabicner_spark.functions import tagcore
+    """The SAME extract_mentions scoring loop over a streaming frame,
+    minus the repartition (stateless map — no shuffle before a stateless
+    sink; partitioning is the source's concern in streaming).
 
-    # reuse the batch stage but skip the explicit repartition: build the
-    # mapInPandas directly over the pruned stream
-    import pandas as pd  # noqa: F401
+    One scoring implementation: this reuses ner.make_score_batches
+    verbatim (same collate/pad/decode path as the batch stage, gazetteer
+    prepared once per closure — not per row), carrying ``ts`` through as
+    a passthrough column for the watermarked monitor downstream.
+    """
+    from arabicner_spark.functions import tagcore
 
     pruned = stream.select("conv_id", "turn_idx", "text", "ts")
     spark = stream.sparkSession
     types = tagcore.gazetteer_types(gazetteer)
     bc = spark.sparkContext.broadcast((gazetteer, types, tagcore.DEFAULT_MAX_SEQ_LEN))
 
-    def score(batches):
-        import pandas as pd
-
-        from arabicner_spark.functions.normalize import normalize_py
-
-        gaz, typs, msl = bc.value
-        for pdf in batches:
-            out = {
-                "conv_id": [], "turn_idx": [], "level": [], "type": [],
-                "start_tok": [], "end_tok": [], "text": [], "ts": [],
-            }
-            for i in range(len(pdf)):
-                toks = (pdf["text"].iloc[i] or "").split()
-                norm = [normalize_py(t) for t in toks]
-                for lvl, typ, s, e, surface in tagcore.mentions_for_turn(
-                    toks, norm, gaz, typs, msl
-                ):
-                    out["conv_id"].append(pdf["conv_id"].iloc[i])
-                    out["turn_idx"].append(int(pdf["turn_idx"].iloc[i]))
-                    out["level"].append(lvl)
-                    out["type"].append(typ)
-                    out["start_tok"].append(s)
-                    out["end_tok"].append(e)
-                    out["text"].append(surface)
-                    out["ts"].append(pdf["ts"].iloc[i])
-            yield pd.DataFrame(out).astype(
-                {"turn_idx": "int32", "level": "int32",
-                 "start_tok": "int32", "end_tok": "int32"}
-            )
-
+    score = ner.make_score_batches(bc, passthrough=("ts",))
     schema = (
         "conv_id string, turn_idx int, level int, type string, "
         "start_tok int, end_tok int, text string, ts timestamp"

@@ -1,0 +1,193 @@
+"""Real-model scorer branch: checkpoint discovery, natural sort,
+vocab->types recovery, and decode parity through the injection points.
+
+The transformers/torch libs are absent in this sandbox, so the actual
+weight load is skip-marked; everything up to it (the loader semantics
+that mirror arabiner/utils/helpers.py:65-98 + BaseTrainer.py:104-117)
+and the shared decode path are exercised with fake checkpoints and a
+fake model-shaped scorer.
+"""
+
+import json
+import pickle
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+
+from arabicner_spark import schemas
+from arabicner_spark.functions import bert_scorer, tagcore
+from arabicner_spark.operators import ner
+
+# ------------------------------------------------------------- natural sort
+
+
+def test_natsorted_numeric_chunks():
+    files = [
+        "checkpoint_10.pt",
+        "checkpoint_9.pt",
+        "checkpoint_1.pt",
+        "checkpoint_2.pt",
+    ]
+    assert bert_scorer.natsorted(files) == [
+        "checkpoint_1.pt",
+        "checkpoint_2.pt",
+        "checkpoint_9.pt",
+        "checkpoint_10.pt",
+    ]
+    # lexicographic sort would put 10 before 9 — the exact bug natural
+    # sort exists to avoid (BaseTrainer.py:110 takes the LAST element)
+    assert sorted(files)[-1] == "checkpoint_9.pt"
+
+
+# ------------------------------------------------------- checkpoint layout
+
+
+@pytest.fixture()
+def fake_checkpoint(tmp_path):
+    ckpt = tmp_path / "model"
+    (ckpt / "checkpoints").mkdir(parents=True)
+    tag_vocab = [
+        ["O", "B-ORG", "I-ORG", "B-PERS", "I-PERS"],  # flat vocab head
+        ["B-ORG", "I-ORG", "O"],  # per-type vocabs, sorted type order
+        ["B-PERS", "I-PERS", "O"],
+    ]
+    with open(ckpt / "tag_vocab.pkl", "wb") as fh:
+        pickle.dump(tag_vocab, fh)
+    with open(ckpt / "args.json", "w") as fh:
+        json.dump(
+            {
+                "network_config": {
+                    "fn": "arabiner.nn.BertNestedTagger",
+                    "kwargs": {"bert_model": "aubmindlab/bert-base-arabertv2"},
+                },
+                "batch_size": 8,
+            },
+            fh,
+        )
+    for epoch in (1, 2, 9, 10):
+        (ckpt / "checkpoints" / f"checkpoint_{epoch}.pt").touch()
+    return str(ckpt)
+
+
+def test_load_checkpoint_meta_picks_natsort_latest(fake_checkpoint):
+    meta = bert_scorer.load_checkpoint_meta(fake_checkpoint)
+    assert meta.latest_checkpoint.endswith("checkpoint_10.pt")
+    assert meta.train_config["batch_size"] == 8
+    assert bert_scorer.types_from_tag_vocab(meta.tag_vocab) == ["ORG", "PERS"]
+
+
+def test_load_checkpoint_meta_missing_pieces(tmp_path):
+    with pytest.raises(FileNotFoundError, match="tag_vocab"):
+        bert_scorer.load_checkpoint_meta(str(tmp_path))
+    with open(tmp_path / "tag_vocab.pkl", "wb") as fh:
+        pickle.dump(["ORG"], fh)
+    with pytest.raises(FileNotFoundError, match="args.json"):
+        bert_scorer.load_checkpoint_meta(str(tmp_path))
+    (tmp_path / "args.json").write_text("{}")
+    with pytest.raises(FileNotFoundError, match="checkpoint_"):
+        bert_scorer.load_checkpoint_meta(str(tmp_path))
+
+
+def test_types_from_tag_vocab_shapes():
+    assert bert_scorer.types_from_tag_vocab(["PERS", "ORG"]) == ["ORG", "PERS"]
+
+    class FakeVocab:
+        def __init__(self, tags):
+            self._tags = tags
+
+        def get_itos(self):
+            return self._tags
+
+    payload = [FakeVocab(["O", "B-GPE"]), FakeVocab(["B-GPE", "I-GPE", "O"])]
+    assert bert_scorer.types_from_tag_vocab(payload) == ["GPE"]
+
+
+def test_scorer_requires_transformers(fake_checkpoint):
+    if bert_scorer.HAS_TRANSFORMERS:
+        pytest.skip("transformers installed — covered by the real-load test")
+    with pytest.raises(RuntimeError, match="transformers"):
+        bert_scorer.BertTurnScorer(fake_checkpoint)
+
+
+@pytest.mark.skipif(
+    not bert_scorer.HAS_TRANSFORMERS, reason="transformers/torch not installed"
+)
+def test_real_model_load(fake_checkpoint):  # pragma: no cover - env-gated
+    # a real environment additionally needs genuine weights; this
+    # asserts the load path raises cleanly on the empty fixture .pt
+    with pytest.raises(Exception):
+        bert_scorer.BertTurnScorer(fake_checkpoint)
+
+
+# --------------------------------------------- decode parity via injection
+
+
+def _transcript_df(spark, texts):
+    rows = [
+        ("c0", i, "user", t, None, datetime(2026, 1, 1, tzinfo=timezone.utc))
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+
+
+GAZ = {
+    "ENGINE": {("spark",)},
+    "OPER": {("hash", "join"), ("table", "scan")},
+}
+
+TEXTS = [
+    "spark runs a hash join over the table scan",
+    "nothing to see here",
+    "spark spark hash join",
+]
+
+
+def test_model_shaped_scorer_decodes_identically(spark):
+    """A 'real-model-shaped' scorer (continuous logits, 4-tuple enc) must
+    decode byte-identically to the stand-in when its argmax agrees —
+    decode is shared, so only argmax matters."""
+
+    def encoder(tokens, max_seq_len):
+        first_idx, n_sub, n_tag = tagcore.encode_tokens(tokens, max_seq_len)
+        fake_input_ids = [101] + [0] * n_sub + [102]
+        return first_idx, n_sub, n_tag, fake_input_ids
+
+    def score_fn(norm_tokens, gaz, types, max_seq_len, enc=None):
+        base = tagcore.score_turn(norm_tokens, gaz, types, max_seq_len, enc=enc[:3])
+        # continuous, model-ish values with the same argmax
+        return base * 3.7 + 0.123
+
+    df = _transcript_df(spark, TEXTS)
+    got = sorted(
+        map(tuple, ner.extract_mentions(df, GAZ, encoder=encoder, score_fn=score_fn).collect())
+    )
+    want = sorted(map(tuple, ner.extract_mentions(df, GAZ).collect()))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_streaming_and_batch_share_one_loop(spark, tmp_path):
+    """streaming_mentions reuses make_score_batches — same mentions, plus
+    the ts passthrough column."""
+    from arabicner_spark.streaming import ingest
+
+    df = _transcript_df(spark, TEXTS)
+    src = str(tmp_path / "stream_src")
+    df.write.parquet(src)
+    out = (
+        ingest.streaming_mentions(ingest.stream_transcripts(spark, src), GAZ)
+        .writeStream.format("memory")
+        .queryName("t_stream_mentions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, level, type, start_tok, end_tok, text "
+        "FROM t_stream_mentions"
+    ).collect()
+    want = ner.extract_mentions(df, GAZ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    ts = spark.sql("SELECT ts FROM t_stream_mentions").first().ts
+    assert ts is not None

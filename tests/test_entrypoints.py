@@ -24,11 +24,16 @@ def test_tag_text_nested_output(spark):
 
 @pytest.mark.skipif(not os.path.exists(VAL), reason="reference fixtures unavailable")
 def test_evaluate_file_on_wojood(spark, tmp_path):
-    micro = evaluate_file(spark, VAL, str(tmp_path))
+    rep = evaluate_file(spark, VAL, str(tmp_path))
     # gold-derived gazetteer: recall must be near-total (decode bugs
     # would show up here); precision dips on short generic surfaces
-    assert micro.recall >= 0.95
-    assert micro.f1 >= 0.85
+    assert rep.recall >= 0.95
+    assert rep.micro_f1 >= 0.85
+    # the reference's full seqeval report lines (metrics.py:31-46):
+    # macro <= micro here (rare types score worse), weighted in between
+    assert 0.0 < rep.macro_f1 <= 1.0
+    assert rep.macro_f1 <= rep.weights_f1 <= 1.0
+    assert rep.accuracy >= 0.95
     part = glob.glob(str(tmp_path / "predictions_val.txt" / "part-*"))[0]
     lines = open(part, encoding="utf-8").read().splitlines()
     # reference format: token<TAB>gold|gold<TAB>pred|pred, blank between segments

@@ -132,3 +132,16 @@ def test_custom_score_fn_injection(spark):
     assert {(r.conv_id, r.turn_idx, r.level, r.start_tok) for r in custom} == {
         (r.conv_id, r.turn_idx, r.level, r.start_tok) for r in base if r.type != "GPE"
     }
+
+
+def test_salted_join_rejects_key_only_salt(spark):
+    """A salt that is a pure function of the join key gives zero skew
+    relief while paying S-fold dim replication — reject loudly."""
+    fact = spark.createDataFrame([("a",), ("a",)], "k string")
+    dim = spark.createDataFrame([("a", "d")], "k string, name string")
+    with pytest.raises(ValueError, match="pure function"):
+        salted_join(fact, dim, "k")
+    with pytest.raises(ValueError, match="pure function"):
+        salted_join(
+            fact.withColumn("v", F.lit(1)), dim, "k", salt_by=["k"]
+        )

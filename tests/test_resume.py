@@ -62,6 +62,13 @@ def test_partial_failure_then_resume(spark, tmp_path, cfg):
     assert m["run_id"] == "r1"
     e = json.load(open(os.path.join(broken_root, "_manifests", "edges.json")))
     assert e["run_id"] == "r2"
+    # metrics are last-writer-wins per stage (overwrite, not append):
+    # the rerun of linking/edges/nodes must not leave duplicate rows
+    metrics = spark.read.parquet(os.path.join(broken_root, "_metrics"))
+    dup = metrics.groupBy("stage", "partition_id").count().where("count > 1").count()
+    assert dup == 0
+    edge_runs = {r.run_id for r in metrics.where("stage = 'edges'").collect()}
+    assert edge_runs == {"r2"}
 
 
 def test_input_change_invalidates_resume(spark, tmp_path, cfg):

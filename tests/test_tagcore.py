@@ -79,6 +79,20 @@ def test_truncated_entity_not_emitted():
     assert got2 == [(0, "GPE", 600, 601, "x")]
 
 
+def test_straddling_entity_keeps_truncated_prefix():
+    """A phrase starting before the subword budget but ending after it
+    decodes as its kept prefix — the reference slices the tag lists
+    (transforms.py:101-107), preserving B-/I- up to the boundary."""
+    gaz = {"ORG": {("x", "y", "z")}}
+    # 4-char tokens = 1 subword each; budget = max_seq_len-2 = 8
+    toks = ["aaaa"] * 7 + ["x", "y", "z"]
+    got = tagcore.mentions_for_turn(toks, toks, gaz, ["ORG"], max_seq_len=10)
+    assert got == [(0, "ORG", 7, 8, "x")]
+    # starting exactly AT the boundary: B- is cut, nothing emitted
+    toks2 = ["aaaa"] * 8 + ["x", "y", "z"]
+    assert tagcore.mentions_for_turn(toks2, toks2, gaz, ["ORG"], max_seq_len=10) == []
+
+
 def test_greedy_longest_match_and_first_match_per_type():
     gaz = {"ORG": {("a", "b"), ("a",)}}
     # longest wins at position 0; the inner ("a",) at pos 0 is consumed
