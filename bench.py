@@ -37,6 +37,81 @@ HEADLINE = [
 ]
 
 
+def skew_leg(spark, sf_dir: str, cpus: int) -> dict:
+    """Planted-hot-conversation skew posture (VERDICT r1 item 7).
+
+    Re-derives the transcript table with ONE conversation holding ~25%
+    of all turns, runs the real NER -> triples path over it, and
+    reports rows-per-shuffle-partition max/median for the two exchanges
+    that could concentrate the hot conv:
+
+      * the NER stage's salted input, key (conv_id, turn_idx % 16) —
+        per-task work is linear in turns, so row balance IS task-time
+        balance for the Python stage;
+      * the triples groupBy, key (conv_id, turn_idx) — constant work
+        per mention row after the bounded pair expansion.
+
+    Partition ids use F.hash (Murmur3, seed 42) mod N — the exact
+    function Catalyst's hashpartitioning applies, so the reported
+    distribution is the real shuffle layout, not an approximation.
+    """
+    from pyspark.sql import functions as F
+
+    from arabicner_spark.operators import ner, triples as triples_op
+    from arabicner_spark.plans import testdata_queries as tq
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # doc_id % 4 == 0 -> the hot conv (~25% of turns); rest spread as usual
+    hot = F.col("doc_id") % 4 == 0
+    t = d.select(
+        F.when(hot, F.lit("conv_hot"))
+        .otherwise(
+            F.concat(
+                F.lit("conv_"),
+                F.lpad((F.col("doc_id") % tq.N_CONVS).cast("string"), 4, "0"),
+            )
+        )
+        .alias("conv_id"),
+        F.when(hot, F.col("doc_id") / 4)
+        .otherwise(F.col("doc_id") / tq.N_CONVS)
+        .cast("int")
+        .alias("turn_idx"),
+        F.col("text"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def ratio(df, n, *key_cols) -> float:
+        sizes = (
+            df.groupBy(F.pmod(F.hash(*key_cols), F.lit(n)).alias("p"))
+            .count()
+            .select("count")
+        )
+        stats = sizes.agg(
+            F.max("count").alias("mx"),
+            F.median("count").alias("md"),
+        ).first()
+        return round(float(stats.mx) / float(stats.md), 2)
+
+    t0 = time.time()
+    m = ner.extract_mentions(t, tq.gazetteer_dict_td()).localCheckpoint(eager=True)
+    tri_n = triples_op.extract_triples(m, tq.PREDS_TD, tq.WINDOW_TD).count()
+    wall = round(time.time() - t0, 3)
+
+    salt_mod = max(ner.TURN_SALT, n_parts)  # mirrors extract_mentions
+    ner_ratio = ratio(
+        t, n_parts, F.col("conv_id"), F.pmod("turn_idx", F.lit(salt_mod))
+    )
+    tri_ratio = ratio(m, shuffle_parts, F.col("conv_id"), F.col("turn_idx"))
+    return {
+        "hot_conv_turn_share": 0.25,
+        "ner_salted_partition_max_over_median": ner_ratio,
+        "triples_groupby_partition_max_over_median": tri_ratio,
+        "triples_rows": tri_n,
+        "wall_sec": wall,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -69,6 +144,7 @@ def main() -> None:
     triples_per_sec = (
         round(counts["kg_edges"] / timings["kg_edges"], 1) if timings.get("kg_edges") else None
     )
+    skew = skew_leg(spark, sf_dir, cpus)
     print(
         json.dumps(
             {
@@ -80,6 +156,7 @@ def main() -> None:
                 "cpus": cpus,
                 "rows": counts,
                 "kg_edges_triples_per_sec": triples_per_sec,
+                "skew_hot_conv": skew,
             }
         )
     )
