@@ -1059,6 +1059,162 @@ SELECT user_id, count(*) AS n_events,
 FROM g GROUP BY user_id"""
 
 
+# ------------------------------------------- corpus-pipeline decisions
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end dedup DECISION: exact-dup edges (same md5 text) UNION
+    near-dup LSH candidate pairs -> connected components -> keep the
+    min doc_id per cluster.  This is the operator a 100 TB corpus run
+    actually executes — per-document keep/drop, not just pair lists.
+    Never all-pairs: exact edges are member->group-min (one groupBy),
+    near-dup edges come from banded MinHash-LSH."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    # exact: link every member to its group's min id (star edges)
+    g = d.groupBy(hashing.md5_utf8(F.col("text")).alias("h")).agg(
+        F.min("id").alias("a"), F.collect_set("id").alias("ids")
+    )
+    exact = g.select("a", F.explode("ids").alias("b")).where(F.col("a") != F.col("b"))
+    sh = hashing.word_shingles(d, ["id"], "text", n=3)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    near = hashing.lsh_candidate_pairs(
+        hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
+    )
+    comp = connected_components_adaptive(exact.unionByName(near))
+    return (
+        d.select(F.col("id").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.coalesce("component", "node").cast("bigint").alias("keep_doc"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("keep_doc"))
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""WITH RECURSIVE
+docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+{_sql_minhash_cte('docsrc')},
+exact AS (
+  SELECT min(id) AS a, unnest(list(id)) AS b FROM docsrc GROUP BY md5(text)
+),
+alledges AS (
+  SELECT a, b FROM exact WHERE a != b
+  UNION SELECT a, b FROM pairs
+),
+sym AS (SELECT a, b FROM alledges UNION SELECT b, a FROM alledges),
+reach(node, r) AS (
+  SELECT id, id FROM docsrc
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS keep_doc,
+       CAST(node AS BIGINT) = CAST(component AS BIGINT) AS is_survivor
+FROM comp"""
+
+
+SAMPLE_SEED = 7
+SAMPLE_HEX_CUT = "33333333"  # ~20% of the md5 space
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash sampling (~20%) reported per language
+    stratum: sampled iff the first 8 hex chars of md5(seed|doc_id)
+    fall below the cut.  Hash-based, so the sample is stable across
+    runs/partitionings/engines — the property that matters when a
+    100 TB pipeline must re-materialize the same sample after resume."""
+    d = load(spark, sf_dir, "documents")
+    picked = (
+        F.substring(hashing.seeded_md5(F.col("doc_id").cast("string"), SAMPLE_SEED), 1, 8)
+        < SAMPLE_HEX_CUT
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(picked.cast("int")).cast("bigint").alias("n_sampled"),
+        F.round(F.sum(picked.cast("int")) / F.count("*"), 4).alias("rate"),
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN substr(md5('{SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '{SAMPLE_HEX_CUT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(sum(CASE WHEN substr(md5('{SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           < '{SAMPLE_HEX_CUT}' THEN 1 ELSE 0 END) / count(*), 4) AS rate
+FROM documents GROUP BY lang"""
+
+
+_PII_NUM = "[0-9]{2,}"
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII-style scrubbing pass: redact digit runs (>=2) to <NUM>,
+    report per-doc redaction count + md5 of the scrubbed text (the
+    hash pins the full scrubbed payload without shipping it)."""
+    d = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", _PII_NUM, "<NUM>")
+    n_red = F.size(F.regexp_extract_all("text", F.lit(_PII_NUM), 0)).cast("int")
+    return d.select(
+        "doc_id",
+        n_red.alias("n_redactions"),
+        hashing.md5_utf8(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+SQL_TEXT_PII_SCRUB = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_NUM}')) AS INTEGER) AS n_redactions,
+       md5(regexp_replace(text, '{_PII_NUM}', '<NUM>', 'g')) AS scrubbed_md5
+FROM documents"""
+
+
+def q_text_bigrams(spark, sf_dir):
+    """Corpus bigram counts, top-30 (LM-style n-gram statistics):
+    pure array expressions to the single count shuffle, global top-k
+    via rank-limit window."""
+    d = load(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(arr, (i + 1).cast("int")),
+                F.element_at(arr, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return counts.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= 30
+    )
+
+
+SQL_TEXT_BIGRAMS = """
+WITH tok AS (
+  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+bg AS (
+  SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM tok QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+SELECT bigram, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank FROM c
+) WHERE rank <= 30"""
+
+
 # ------------------------------------------------------ vocab / eval family
 
 # pred-side gazetteer for the evaluation queries: "scan" dropped (recall
@@ -1316,6 +1472,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "vocab_tokens": (q_vocab_tokens, SQL_VOCAB_TOKENS),
     "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
