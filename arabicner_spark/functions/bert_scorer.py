@@ -244,20 +244,35 @@ class BertTurnScorer:
         (BertNestedTagger.py:27-33): shared encoder, per-type linear
         heads, stacked on a new level axis.
         """
-        import torch
-
         if enc is None or len(enc) < 4:
             enc = self.encode(norm_tokens, max_seq_len)
-        first_idx, n_subwords, n_taggable, input_ids = enc[0], enc[1], enc[2], enc[3]
-        T = n_subwords + 2
+        return self.score_batch([norm_tokens], max_seq_len=max_seq_len, encs=[enc])[0]
+
+    def score_batch(self, turns, gaz=None, types=None, max_seq_len=512, encs=None):
+        """Batched forward: pad input_ids to the batch max (dynamic
+        padding, the reference's collate — datasets.py:139-148), one
+        encoder pass, per-head linears, then slice each turn back to
+        its own length.  -> list of (T_i, L, 3) float32."""
+        import torch
+
+        if encs is None:
+            encs = [self.encode(ts, max_seq_len) for ts in turns]
+        id_lists = [e[3] for e in encs]
+        Tmax = max(len(ids) for ids in id_lists)
+        pad_id = self.tokenizer.pad_token_id or 0
+        ids = torch.full((len(id_lists), Tmax), pad_id, dtype=torch.long)
+        mask = torch.zeros((len(id_lists), Tmax), dtype=torch.long)
+        for i, seq in enumerate(id_lists):
+            ids[i, : len(seq)] = torch.tensor(seq, dtype=torch.long)
+            mask[i, : len(seq)] = 1
         with torch.inference_mode():
-            ids = torch.tensor([input_ids], device=self.device)
-            hidden = self.encoder_core(ids).last_hidden_state[0]  # (T, H)
-            cols = []
-            for w, b in self.heads:
-                cols.append(hidden @ w.T + b)  # (T, 3)
-            logits = torch.stack(cols, dim=1)  # (T, L, 3)
-        return logits.cpu().numpy().astype(np.float32)
+            hidden = self.encoder_core(
+                ids.to(self.device), attention_mask=mask.to(self.device)
+            ).last_hidden_state  # (B, Tmax, H)
+            cols = [hidden @ w.T + b for w, b in self.heads]  # each (B, Tmax, 3)
+            logits = torch.stack(cols, dim=2)  # (B, Tmax, L, 3)
+        out = logits.cpu().numpy().astype(np.float32)
+        return [out[i, : len(seq)] for i, seq in enumerate(id_lists)]
 
 
 _SCORERS: Dict[str, BertTurnScorer] = {}
@@ -275,7 +290,10 @@ def attach(model_path: str):
     """(encoder, score_fn) pair for ner.extract_mentions.
 
     Both are thin pickleable shims around the lazy singleton: the task
-    closure carries only the path string, never the weights.
+    closure carries only the path string, never the weights.  The
+    score_fn is marked ``batched`` so make_score_batches runs ONE
+    forward per collate chunk (the reference's batch path) instead of a
+    per-turn forward.
 
         enc, fn = bert_scorer.attach(SparkFiles.get("ckpt_dir"))
         ner.extract_mentions(df, gaz, encoder=enc, score_fn=fn)
@@ -284,9 +302,10 @@ def attach(model_path: str):
     def encoder(tokens, max_seq_len):
         return get_scorer(model_path).encode(tokens, max_seq_len)
 
-    def score_fn(norm_tokens, gaz, types, max_seq_len, enc=None):
-        return get_scorer(model_path).score(
-            norm_tokens, gaz, types, max_seq_len, enc=enc
+    def score_fn(turns, gaz, types, max_seq_len, encs=None):
+        return get_scorer(model_path).score_batch(
+            turns, gaz, types, max_seq_len, encs=encs
         )
 
+    score_fn.batched = True
     return encoder, score_fn

@@ -49,7 +49,12 @@ def make_score_batches(bc, score_fn=None, encoder=None, passthrough: tuple = ())
 
     ``bc`` broadcasts (gazetteer, types, max_seq_len).  ``score_fn(
     norm_tokens, gaz, types, max_seq_len, enc) -> (T, L, 3) float32`` is
-    the model injection point; ``encoder(norm_tokens, max_seq_len) ->
+    the model injection point; a score_fn carrying ``batched = True`` is
+    instead called ONCE per collate chunk as ``score_fn(list_of_turns,
+    gaz, types, max_seq_len, encs=list) -> list of (T_i, L, 3)`` — the
+    reference's batch-forward shape (datasets.py:128-150 collate +
+    BaseTrainer.tag), which a real accelerator-backed model needs.
+    ``encoder(norm_tokens, max_seq_len) ->
     (first_subword_idx, n_subwords, n_taggable, ...)`` is the tokenizer
     injection point (a real WordPiece encoder from
     functions.bert_scorer drops in here; default = tagcore's stand-in).
@@ -91,10 +96,17 @@ def make_score_batches(bc, score_fn=None, encoder=None, passthrough: tuple = ())
                 toks = [t.split() for t in chunk]
                 norm = [[norm_tok(w) for w in ts] for ts in toks]
                 enc = [encoder(n, msl) for n in norm]
-                logits = [
-                    score_fn(n, pg, typs, msl, enc=e)
-                    for n, e in zip(norm, enc)
-                ]
+                if getattr(score_fn, "batched", False):
+                    # one forward per collate chunk (the reference's
+                    # batch path, datasets.py:128-150 + BaseTrainer.tag)
+                    # — essential for a real model, where per-turn
+                    # forwards waste the accelerator
+                    logits = score_fn(norm, pg, typs, msl, encs=enc)
+                else:
+                    logits = [
+                        score_fn(n, pg, typs, msl, enc=e)
+                        for n, e in zip(norm, enc)
+                    ]
                 T = max((lg.shape[0] for lg in logits), default=0)
                 batch = np.zeros(
                     (len(logits), T, n_levels, tagcore.N_LABELS), np.float32

@@ -820,6 +820,94 @@ SELECT q, neighbor, cos, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= 3"""
 
 
+IVF_CELLS = 8  # coarse centroids = vectors with vec_id < 8 (deterministic)
+IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    first IVF_CELLS vectors), every vector assigned to its nearest
+    centroid (one broadcast join against 8 rows — no shuffle), queries
+    probe their IVF_NPROBE nearest cells, exact cosine only within the
+    probed cells.  The cell id is the shuffle key of the search join —
+    the canonical IVF plan shape, scale-bounded by cell fan-in.
+
+    Assignment/probing rank on round(cos,4) with centroid-id tie-break,
+    making the cell structure engine-portable and exact."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("vc")
+    )
+    dot_c = F.aggregate(
+        F.zip_with("v", "vc", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("vc", F.lit(0.0), lambda a, x: a + x * x))
+    scored_c = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", F.round(dot_c / (nv * nc), 4).alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    ranked = scored_c.withColumn("cr", F.row_number().over(w_assign))
+    assigned = ranked.where(F.col("cr") == 1).select("vec_id", "v", F.col("cid").alias("cell"))
+    probes = ranked.where(
+        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("q"), F.col("v").alias("vq"), F.col("cid").alias("cell"))
+
+    dot_q = F.aggregate(
+        F.zip_with("vq", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nq = F.sqrt(F.aggregate("vq", F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        probes.join(assigned, "cell")
+        .where(F.col("q") != F.col("vec_id"))
+        .select("q", F.col("vec_id").alias("neighbor"), F.round(dot_q / (nq * nv), 4).alias("cos"))
+        .distinct()  # a neighbor reachable via both probed cells counts once
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {IVF_CELLS}),
+scored_c AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.vc) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.vc, c.vc))), 4) AS sim
+  FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS cr
+  FROM scored_c
+),
+assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1),
+probes AS (SELECT vec_id AS q, cid AS cell FROM ranked
+           WHERE cr <= {IVF_NPROBE} AND vec_id < 20),
+cand AS (
+  SELECT DISTINCT p.q, a.vec_id AS neighbor
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q
+),
+scored AS (
+  SELECT c.q, c.neighbor,
+         round(list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.q JOIN e y ON y.vec_id = c.neighbor
+)
+SELECT q, neighbor, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q, neighbor, cos,
+         row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rank
+  FROM scored
+) WHERE rank <= 3"""
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ["the", "a", "of", "and", "to"]
@@ -955,6 +1043,39 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS payload_md5,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality
 FROM documents"""
+
+
+MM_FRAMES = 4
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: given per-payload duration
+    metadata (deterministically derived — no codecs in the container),
+    emit the evenly-spaced frame-sample offsets a decode stage would
+    seek to: offset_ms[i] = floor(i * duration_ms / K).  The decode
+    itself stays the documented stub (operators/multimodal.py); the
+    partition-preserving explode shape is what runs at scale."""
+    d = load(spark, sf_dir, "documents")
+    duration_ms = (F.col("doc_id") % 97 + 3) * 1000
+    return d.select(
+        "doc_id",
+        duration_ms.cast("bigint").alias("duration_ms"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MM_FRAMES - 1)),
+                lambda i: F.floor(i * duration_ms / MM_FRAMES).cast("bigint"),
+            )
+        ).alias("frame_idx", "offset_ms"),
+    )
+
+
+SQL_MM_FRAME_SAMPLE = f"""
+WITH d AS (SELECT doc_id, (doc_id % 97 + 3) * 1000 AS duration_ms FROM documents),
+f AS (SELECT doc_id, duration_ms, unnest(generate_series(0, {MM_FRAMES - 1})) AS frame_idx FROM d)
+SELECT doc_id, CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(floor(frame_idx * duration_ms / {MM_FRAMES}) AS BIGINT) AS offset_ms
+FROM f"""
 
 
 # ------------------------------------------------- relational/star-schema
@@ -1461,12 +1582,14 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
     "mm_meta": (q_mm_meta, SQL_MM_META),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),

@@ -167,6 +167,34 @@ def test_model_shaped_scorer_decodes_identically(spark):
     assert len(want) > 0
 
 
+def test_batched_scorer_path_decodes_identically(spark):
+    """A score_fn marked ``batched`` is called once per collate chunk
+    with the turn list (the reference's batch-forward shape) — padding
+    to the chunk max then slicing back must decode identically."""
+    calls = []
+
+    def score_fn(turns, gaz, types, max_seq_len, encs=None):
+        calls.append(len(turns))
+        per_turn = [
+            tagcore.score_turn(n, gaz, types, max_seq_len, enc=e[:3])
+            for n, e in zip(turns, encs)
+        ]
+        # pad to chunk max like a real batched forward, slice back
+        tmax = max(lg.shape[0] for lg in per_turn)
+        out = []
+        for lg in per_turn:
+            pad = np.zeros((tmax, lg.shape[1], lg.shape[2]), np.float32)
+            pad[: lg.shape[0]] = lg * 2.5 + 0.01
+            out.append(pad[: lg.shape[0]])
+        return out
+
+    score_fn.batched = True
+    df = _transcript_df(spark, TEXTS)
+    got = sorted(map(tuple, ner.extract_mentions(df, GAZ, score_fn=score_fn).collect()))
+    want = sorted(map(tuple, ner.extract_mentions(df, GAZ).collect()))
+    assert got == want and len(want) > 0
+
+
 def test_streaming_and_batch_share_one_loop(spark, tmp_path):
     """streaming_mentions reuses make_score_batches — same mentions, plus
     the ts passthrough column."""
