@@ -24,13 +24,36 @@ from arabicner_spark.sources import synth
 
 
 def tag_text(
-    spark: SparkSession, text: str, gazetteer: Dict[str, set]
+    spark: SparkSession,
+    text: str,
+    gazetteer: Dict[str, set],
+    model_path: str | None = None,
 ) -> List[Tuple[str, List[str]]]:
-    """-> [(token, [per-level tag name])], reference pred_tag layout."""
+    """-> [(token, [per-level tag name])], reference pred_tag layout.
+
+    ``model_path`` mirrors the reference CLI (arabiner/bin/infer.py:
+    10-38): a reference-layout checkpoint directory switches scoring to
+    the transformers branch (functions/bert_scorer.py); omitted, the
+    deterministic gazetteer scorer runs.
+    """
     types = tagcore.gazetteer_types(gazetteer)
     rows = [("infer", 0, "user", text, None, datetime(2026, 1, 1, tzinfo=timezone.utc))]
     df = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
-    mentions = ner.extract_mentions(df, gazetteer).collect()
+    encoder = score_fn = None
+    if model_path:
+        from arabicner_spark.functions import bert_scorer
+
+        if not bert_scorer.HAS_TRANSFORMERS:
+            raise RuntimeError(
+                "--model_path needs transformers/torch installed; "
+                "without them the gazetteer stand-in is the scorer"
+            )
+        # validate layout early (driver-side) for a readable error
+        bert_scorer.load_checkpoint_meta(model_path)
+        encoder, score_fn = bert_scorer.attach(model_path)
+    mentions = ner.extract_mentions(
+        df, gazetteer, encoder=encoder, score_fn=score_fn
+    ).collect()
     tokens = text.split()
     tags = [["O"] * len(types) for _ in tokens]
     for m in mentions:
@@ -44,6 +67,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--text", required=True)
     p.add_argument("--master", default="local[4]")
+    p.add_argument(
+        "--model_path",
+        default=None,
+        help="reference-layout checkpoint dir (args.json + tag_vocab.pkl "
+        "+ checkpoints/checkpoint_*.pt); requires transformers/torch",
+    )
     args = p.parse_args()
     spark = (
         SparkSession.builder.master(args.master)
@@ -52,7 +81,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    tagged = tag_text(spark, args.text, synth.gazetteer_dict())
+    tagged = tag_text(spark, args.text, synth.gazetteer_dict(), args.model_path)
     print(" ".join(f"{tok} ({'|'.join(tags)})" for tok, tags in tagged))
     spark.stop()
 

@@ -219,3 +219,15 @@ def test_streaming_and_batch_share_one_loop(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     ts = spark.sql("SELECT ts FROM t_stream_mentions").first().ts
     assert ts is not None
+
+
+def test_tag_text_model_path_requires_transformers(spark, fake_checkpoint):
+    """The reference-parity --model_path CLI flag routes to the real
+    branch; without transformers installed it must fail loudly, not
+    silently fall back to the stand-in."""
+    from arabicner_spark.plans.infer import tag_text
+
+    if bert_scorer.HAS_TRANSFORMERS:
+        pytest.skip("transformers installed — real path covered elsewhere")
+    with pytest.raises(RuntimeError, match="transformers"):
+        tag_text(spark, "spark runs", {"E": {("spark",)}}, model_path=fake_checkpoint)

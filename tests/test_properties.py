@@ -88,3 +88,84 @@ def test_encode_tokens_partition(tokens):
     assert (first[1:] - first[:-1] == lens[:-1]).all()
     assert 0 <= n_tag <= len(tokens)
     assert n_sub <= 30
+
+
+# ---------------------------------------------- r2 primitives (properties)
+
+import numpy as np
+
+from arabicner_spark.functions import bert_scorer
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=20), min_size=0, max_size=80),
+    budget=st.integers(min_value=3, max_value=200),
+)
+def test_encode_from_lengths_invariants(lens, budget):
+    arr = np.array(lens, dtype=np.int64)
+    first, n_sub, n_tag = tagcore.encode_from_lengths(arr, max_seq_len=budget)
+    assert 0 <= n_tag <= len(lens)
+    assert 0 <= n_sub <= budget - 2
+    # first-subword indices are the exclusive prefix sums: monotone,
+    # and every taggable token's first subword fits the kept budget
+    assert all(first[i] <= first[i + 1] for i in range(len(lens) - 1))
+    assert all(first[i] < budget - 2 for i in range(n_tag))
+    assert all(first[i] >= budget - 2 for i in range(n_tag, len(lens)))
+    if len(lens):
+        assert n_sub == min(int(arr.sum()), budget - 2)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    names=st.lists(
+        st.integers(min_value=0, max_value=10**6).map(
+            lambda n: f"checkpoint_{n}.pt"
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_natsorted_orders_by_epoch_number(names):
+    got = bert_scorer.natsorted(names)
+    nums = [int(n.split("_")[1].split(".")[0]) for n in got]
+    assert nums == sorted(nums)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_sign_lsh_signature_determinism_and_shape(vecs):
+    """The numpy band-signature math must equal a per-vector scalar
+    reimplementation (the portability contract the SQL oracle relies
+    on), for any float input."""
+    import hashlib
+
+    from arabicner_spark.functions.hashing import rademacher_matrix
+
+    bits_per_band, n_bands = 3, 4
+    H = bits_per_band * n_bands
+    X = np.array(vecs, dtype=np.float64)
+
+    Wm = rademacher_matrix(H, X.shape[1])
+    Xi = np.floor(X * 1e6).astype(np.int64)
+    S = (Xi @ Wm) >= 0
+    for r in range(X.shape[0]):
+        for j in range(H):
+            acc = 0
+            for i in range(X.shape[1]):
+                h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
+                w = 1 if int(h[0], 16) % 2 == 0 else -1
+                acc += w * int(np.floor(X[r, i] * 1e6))
+            assert (acc >= 0) == S[r, j]
