@@ -169,3 +169,24 @@ def test_sign_lsh_signature_determinism_and_shape(vecs):
                 w = 1 if int(h[0], 16) % 2 == 0 else -1
                 acc += w * int(np.floor(X[r, i] * 1e6))
             assert (acc >= 0) == S[r, j]
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens=token_lists, gaz=gazetteers, budget=st.integers(min_value=3, max_value=60))
+def test_truncation_is_prefix_clamp_of_unbounded_run(tokens, gaz, budget):
+    """Reference truncation semantics (transforms.py:101-107 slices the
+    tag lists): for ANY budget, the budgeted mention set equals the
+    unbounded set with spans starting past the boundary dropped and
+    straddling spans clamped to the kept prefix."""
+    if not gaz:
+        return
+    _, _, n_tag = tagcore.encode_tokens(tokens, max_seq_len=budget)
+    budgeted = tagcore.mentions_for_turn(tokens, tokens, gaz, max_seq_len=budget)
+    unbounded = tagcore.mentions_for_turn(tokens, tokens, gaz, max_seq_len=10**6)
+    expected = [
+        (lvl, typ, s, min(e, n_tag), " ".join(tokens[s : min(e, n_tag)]))
+        for (lvl, typ, s, e, _txt) in unbounded
+        if s < n_tag
+    ]
+    assert sorted(budgeted) == sorted(expected)
+    assert all(s < n_tag and e <= n_tag for (_l, _t, s, e, _x) in budgeted)
