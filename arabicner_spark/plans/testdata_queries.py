@@ -369,18 +369,43 @@ SELECT conv_id, count(*) AS n_turns,
 FROM t GROUP BY conv_id"""
 
 
+def _exact_group_reps(d):
+    """(reps, star) for exact-text dedup-before-LSH.
+
+    reps: one representative row (id = group min, text) per DISTINCT
+    text; star: rep->member edges within each exact group.  Identical
+    texts always share every band cell, so collapsing them to one rep
+    before shingling preserves connectivity EXACTLY while removing the
+    LSH blowup a mass-duplicated document causes (a 1M-copy boilerplate
+    doc would otherwise put 10^12 candidate pairs in one bucket; as
+    star edges it costs 1M rows).  Component ids are unchanged too:
+    each group's min IS its rep, so min-over-reps = min-over-members.
+    """
+    g = d.groupBy(hashing.md5_utf8(F.col("text")).alias("h")).agg(
+        F.min("id").alias("a"),
+        F.min("text").alias("text"),
+        F.collect_set("id").alias("ids"),
+    )
+    reps = g.select(F.col("a").alias("id"), "text")
+    star = g.select("a", F.explode("ids").alias("b")).where(F.col("a") != F.col("b"))
+    return reps, star
+
+
 def q_kg_components(spark, sf_dir):
     """MinHash-LSH blocking over documents + connected components
-    (the REAL large-star/small-star operator), singletons included."""
+    (the REAL large-star/small-star operator), singletons included.
+    LSH runs on exact-text representatives only (see _exact_group_reps)
+    — identical output, mass-duplication-proof plan."""
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
     )
-    sh = hashing.word_shingles(d, ["id"], "text", n=3)
+    reps, star = _exact_group_reps(d)
+    sh = hashing.word_shingles(reps, ["id"], "text", n=3)
     sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
-    comp = connected_components_adaptive(pairs)
+    comp = connected_components_adaptive(pairs.unionByName(star))
     return d.select(F.col("id").alias("node")).join(comp, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
@@ -421,7 +446,14 @@ pairs AS (
 SQL_KG_COMPONENTS = f"""WITH RECURSIVE
 docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
 {_sql_minhash_cte('docsrc')},
-sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+exact AS (
+  SELECT min(id) AS a, unnest(list(id)) AS b FROM docsrc GROUP BY md5(text)
+),
+alledges AS (
+  SELECT a, b FROM exact WHERE a != b
+  UNION SELECT a, b FROM pairs
+),
+sym AS (SELECT a, b FROM alledges UNION SELECT b, a FROM alledges),
 reach(node, r) AS (
   SELECT id, id FROM docsrc
   UNION
@@ -1193,12 +1225,10 @@ def q_dedup_survivors(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
     )
-    # exact: link every member to its group's min id (star edges)
-    g = d.groupBy(hashing.md5_utf8(F.col("text")).alias("h")).agg(
-        F.min("id").alias("a"), F.collect_set("id").alias("ids")
-    )
-    exact = g.select("a", F.explode("ids").alias("b")).where(F.col("a") != F.col("b"))
-    sh = hashing.word_shingles(d, ["id"], "text", n=3)
+    # exact groups give both the star edges AND the LSH input (reps
+    # only — see _exact_group_reps for why this is output-identical)
+    reps, exact = _exact_group_reps(d)
+    sh = hashing.word_shingles(reps, ["id"], "text", n=3)
     sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     near = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
