@@ -506,6 +506,17 @@ WHERE o.level != i.level
   AND (o.end_tok - o.start_tok) > (i.end_tok - i.start_tok)"""
 
 
+def _global_topk(counts, order_cols, k: int):
+    """Distributed global top-k: orderBy+limit plans as
+    TakeOrderedAndProject (map-side partial top-k, single merge of k
+    rows per partition) — an unpartitioned rank window would instead
+    sort the ENTIRE table on one task (WindowGroupLimit only fires for
+    partitioned windows).  The rank window then runs over k rows."""
+    top = counts.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def q_text_top_tokens(spark, sf_dir):
     """Corpus-level top-20 tokens (deterministic tie-break on token)."""
     d = load(spark, sf_dir, "documents")
@@ -514,11 +525,7 @@ def q_text_top_tokens(spark, sf_dir):
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 20)
-    )
+    return _global_topk(counts, [F.col("n").desc(), F.col("w").asc()], 20)
 
 
 SQL_TEXT_TOP_TOKENS = """
@@ -1138,11 +1145,10 @@ def q_rel_top_customers(spark, sf_dir):
         F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("revenue")
     )
     j = rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        j.select("c_custkey", "c_name", "revenue")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 10)
+    return _global_topk(
+        j.select("c_custkey", "c_name", "revenue"),
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+        10,
     )
 
 
@@ -1344,10 +1350,7 @@ def q_text_bigrams(spark, sf_dir):
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return counts.withColumn("rank", F.row_number().over(w).cast("int")).where(
-        F.col("rank") <= 30
-    )
+    return _global_topk(counts, [F.col("n").desc(), F.col("bigram").asc()], 30)
 
 
 SQL_TEXT_BIGRAMS = """
