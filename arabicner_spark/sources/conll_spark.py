@@ -60,22 +60,46 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("seg_raw", F.col("local_blanks") + off[F.col("part")])
         .withColumn("parts", F.split(F.trim("value"), "\\s+"))
         .select(
+            F.col("part"),
             F.col("seg_raw"),
             F.col("line_no"),
             F.col("parts")[0].alias("token"),
             F.slice("parts", 2, 1000).alias("tags"),
         )
+        .localCheckpoint(eager=True)  # reused by stats agg + final plan
     )
     # consecutive blank lines create empty segments the reference's
-    # parser never materializes -> re-densify seg ids by rank
-    seg_ids = toks.select("seg_raw").distinct()
-    seg_ids = seg_ids.withColumn(
-        "seg_id", F.row_number().over(Window.orderBy("seg_raw")) - 1
+    # parser never materializes -> re-densify seg ids.  Same two-phase
+    # prefix-sum as the blank counting (a global rank window here would
+    # single-task the whole distinct-segment table): per-partition
+    # dense_rank + driver-side cumulative distinct counts, minus one
+    # whenever a segment straddles a partition boundary (it is partition
+    # p's max seg_raw AND p+1's min, so it would be counted twice).
+    stats = (
+        toks.groupBy("part")
+        .agg(
+            F.countDistinct("seg_raw").alias("d"),
+            F.min("seg_raw").alias("mn"),
+            F.max("seg_raw").alias("mx"),
+        )
+        .collect()
     )
+    dense_off = {}
+    acc, prev_max = 0, None
+    for r in sorted(stats, key=lambda r: r["part"]):
+        if prev_max is not None and r["mn"] == prev_max:
+            acc -= 1
+        dense_off[r["part"]] = acc
+        acc += r["d"]
+        prev_max = r["mx"]
+    doff = F.create_map(*[F.lit(x) for kv in dense_off.items() for x in kv])
+    w_dense = Window.partitionBy("part").orderBy("seg_raw")
     pos_w = Window.partitionBy("seg_raw").orderBy("line_no")
     return (
-        toks.withColumn("pos", (F.row_number().over(pos_w) - 1).cast("int"))
-        .join(F.broadcast(seg_ids), "seg_raw")
+        toks.withColumn(
+            "seg_id", F.dense_rank().over(w_dense) - 1 + doff[F.col("part")]
+        )
+        .withColumn("pos", (F.row_number().over(pos_w) - 1).cast("int"))
         .select("seg_id", "pos", "token", "tags")
     )
 

@@ -128,3 +128,38 @@ def test_triple_prf_matches_oracle_scorer(spark):
     gold_df = spark.createDataFrame(want, pred_df.schema)
     m = metrics.triple_prf(gold_df, pred_df)
     assert m.precision == 1.0 and m.recall == 1.0
+
+
+def test_conll_spark_multi_split_dense_seg_ids(spark, tmp_path):
+    """The two-phase seg-id prefix sum must survive a file read as MANY
+    input splits, including segments straddling split boundaries and
+    consecutive blank lines (empty segments the reference's parser
+    never materializes)."""
+    import random
+
+    rng = random.Random(7)
+    lines, want = [], []
+    for s in range(4000):
+        seg = [f"tok{s}_{i} B-X" for i in range(rng.randint(1, 6))]
+        want.append([l.split()[0] for l in seg])
+        lines.extend(seg)
+        lines.append("")
+        if rng.random() < 0.1:
+            lines.append("")  # consecutive blank -> empty segment
+    path = tmp_path / "big.txt"
+    path.write_text("\n".join(lines), encoding="utf-8")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+    try:
+        got = conll_spark.read_conll(spark, str(path))
+        rows = got.orderBy("seg_id", "pos").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.seg_id, []).append((r.pos, r.token))
+    assert sorted(by_seg) == list(range(len(want)))  # dense, 0-based
+    for sid, toks in enumerate(want):
+        assert [t for _p, t in sorted(by_seg[sid])] == toks
