@@ -1369,6 +1369,135 @@ SELECT bigram, n, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= 30"""
 
 
+CONTAM_PROBES = ["hash join", "merge sort", "table scan"]
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: documents containing any probe
+    n-gram, with hit counts per probe.  The probe set is tiny and
+    broadcast; candidate n-grams come from the same zero-shuffle array
+    expressions as the mention scan, so the plan is scan -> codegen
+    explode -> broadcast semi-ish join -> one count aggregate."""
+    d = load(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(arr, (i + 1).cast("int")),
+                F.element_at(arr, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    probes = spark.createDataFrame([(p,) for p in CONTAM_PROBES], "probe string")
+    hits = (
+        d.select("doc_id", F.explode(bigrams).alias("ng"))
+        .join(F.broadcast(probes), F.col("ng") == F.col("probe"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sort_array(F.collect_set("probe")).alias("probes_hit"),
+        )
+    )
+    return hits.select(
+        "doc_id", "n_hits", F.array_join("probes_hit", ",").alias("probes_hit")
+    )
+
+
+_SQL_PROBES = ", ".join(f"('{p}')" for p in CONTAM_PROBES)
+
+SQL_CONTAMINATION = f"""
+WITH probes(probe) AS (VALUES {_SQL_PROBES}),
+tok AS (
+  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS ng
+  FROM tok QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)
+SELECT bg.doc_id, count(*) AS n_hits,
+       list_aggregate(list_sort(list(DISTINCT probe)), 'string_agg', ',') AS probes_hit
+FROM bg JOIN probes ON bg.ng = probes.probe
+GROUP BY bg.doc_id"""
+
+
+KEEP_MIN_TOKENS = 5
+KEEP_MAX_TOKENS = 10_000
+KEEP_MIN_QUALITY = 0.5
+
+
+def q_corpus_keep_decision(spark, sf_dir):
+    """The END-TO-END corpus filter funnel — the row every document gets
+    in a real training-data run: language gate, token-count gate,
+    quality gate, dedup-survivor gate, composed into one keep/drop with
+    a reason string (first failing gate wins, 'ok' if kept).  Composes
+    the gated operators (text_langid / text_quality / dedup_survivors)
+    rather than re-deriving them."""
+    lang_ok = F.col("pred_lang") == "en"
+    q = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    lang = q_text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    surv = q_dedup_survivors(spark, sf_dir).select("doc_id", "is_survivor")
+    j = q.join(lang, "doc_id").join(surv, "doc_id")
+    reason = (
+        F.when(~lang_ok, "lang")
+        .when(
+            (F.col("n_tokens") < KEEP_MIN_TOKENS)
+            | (F.col("n_tokens") > KEEP_MAX_TOKENS),
+            "length",
+        )
+        .when(F.col("quality_score") < KEEP_MIN_QUALITY, "quality")
+        .when(~F.col("is_survivor"), "duplicate")
+        .otherwise("ok")
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )
+
+
+SQL_CORPUS_KEEP = f"""WITH RECURSIVE
+docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+{_sql_minhash_cte('docsrc')},
+exact AS (
+  SELECT min(id) AS a, unnest(list(id)) AS b FROM docsrc GROUP BY md5(text)
+),
+alledges AS (
+  SELECT a, b FROM exact WHERE a != b
+  UNION SELECT a, b FROM pairs
+),
+sym AS (SELECT a, b FROM alledges UNION SELECT b, a FROM alledges),
+reach(node, r) AS (
+  SELECT id, id FROM docsrc
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+               + 0.5 * (1 - len(list_filter(string_split(text, ' '),
+                     w -> list_contains({_STOPWORDS}, w))) / len(string_split(text, ' '))), 4)
+           AS quality_score,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'of'))) > 0 THEN 'en' ELSE 'und' END AS pred_lang
+  FROM documents
+),
+dec AS (
+  SELECT f.doc_id,
+         CASE WHEN f.pred_lang != 'en' THEN 'lang'
+              WHEN f.n_tokens < {KEEP_MIN_TOKENS} OR f.n_tokens > {KEEP_MAX_TOKENS} THEN 'length'
+              WHEN f.quality_score < {KEEP_MIN_QUALITY} THEN 'quality'
+              WHEN CAST(c.node AS BIGINT) != CAST(c.component AS BIGINT) THEN 'duplicate'
+              ELSE 'ok' END AS reason
+  FROM feats f JOIN comp c ON CAST(c.node AS BIGINT) = f.doc_id
+)
+SELECT doc_id, reason, reason = 'ok' AS keep FROM dec"""
+
+
 # ------------------------------------------------------ vocab / eval family
 
 # pred-side gazetteer for the evaluation queries: "scan" dropped (recall
@@ -1629,6 +1758,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
