@@ -350,6 +350,70 @@ FROM tri JOIN alias_best sa ON tri.subj = sa.alias
          JOIN alias_best sb ON tri.obj = sb.alias"""
 
 
+def q_kg_degrees(spark, sf_dir):
+    """Graph analytics over the materialized KG: per-node out/in degree
+    and distinct-neighbor counts from the canonical edge table.  One
+    union + one aggregate; the edge table is the scale carrier and the
+    output is node-vocabulary-sized."""
+    edges = q_kg_edges(spark, sf_dir)
+    ends = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("is_out"), F.col("dst").alias("peer")
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("node"), F.lit(0).alias("is_out"), F.col("src").alias("peer")
+        )
+    )
+    return ends.groupBy("node").agg(
+        F.sum("is_out").cast("bigint").alias("out_degree"),
+        F.sum(1 - F.col("is_out")).cast("bigint").alias("in_degree"),
+        F.countDistinct("peer").alias("n_neighbors"),
+    )
+
+
+SQL_KG_DEGREES = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}, {_SQL_ALIAS},
+edges AS (
+  SELECT DISTINCT sa.entity_id AS src, tri.pred, sb.entity_id AS dst,
+         tri.conv_id, tri.turn_idx
+  FROM tri JOIN alias_best sa ON tri.subj = sa.alias
+           JOIN alias_best sb ON tri.obj = sb.alias
+),
+ends AS (
+  SELECT src AS node, 1 AS is_out, dst AS peer FROM edges
+  UNION ALL
+  SELECT dst AS node, 0 AS is_out, src AS peer FROM edges
+)
+SELECT node, CAST(sum(is_out) AS BIGINT) AS out_degree,
+       CAST(sum(1 - is_out) AS BIGINT) AS in_degree,
+       CAST(count(DISTINCT peer) AS BIGINT) AS n_neighbors
+FROM ends GROUP BY node"""
+
+
+def q_kg_temporal_edges(spark, sf_dir):
+    """Temporal KG rollup: edge counts per (pred, hour bucket) — the
+    partition-pruning-friendly shape a time-sliced consumer reads."""
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    t = triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
+    ts = transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    return (
+        t.join(ts, ["conv_id", "turn_idx"])
+        .groupBy("pred", hour.alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("subj").alias("n_subjects"),
+        )
+    )
+
+
+SQL_KG_TEMPORAL = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}
+SELECT tri.pred,
+       CAST(floor(t.ts_epoch / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       count(*) AS n_edges,
+       CAST(count(DISTINCT tri.subj) AS BIGINT) AS n_subjects
+FROM tri JOIN t ON t.conv_id = tri.conv_id AND t.turn_idx = tri.turn_idx
+GROUP BY 1, 2"""
+
+
 def q_kg_turn_stats(spark, sf_dir):
     t = transcripts(spark, sf_dir)
     return t.groupBy("conv_id").agg(
@@ -1735,6 +1799,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
     "kg_edges": (q_kg_edges, SQL_KG_EDGES),
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
+    "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
+    "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
     "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
     "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
