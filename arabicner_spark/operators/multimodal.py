@@ -78,6 +78,55 @@ def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
     return pruned.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id string, modality string, src_width int, src_height int, "
+    "dst_width int, dst_height int, resized_md5 string"
+)
+
+
+def resize_assets(
+    assets: DataFrame, max_side: int = 32, decode_stub: bool = True
+) -> DataFrame:
+    """Aspect-preserving resize plumbing over ``mapInPandas``.
+
+    Source dims come from the (stubbed) decode; the scale factor,
+    target dims, and the resized payload are computed per asset inside
+    the Arrow batch loop.  The stub 'resample' is a deterministic
+    byte-stride downsample of the payload so tests pin real bytes
+    without codecs; a real implementation swaps ``_decode_one`` + the
+    resample line for PIL/ffmpeg calls and keeps everything else.
+    """
+    pruned = assets.select("asset_id", "modality", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "modality", "src_width", "src_height",
+                "dst_width", "dst_height", "resized_md5",
+            )}
+            for aid, mod, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                _feats, w, h = _decode_one(payload, mod, decode_stub)
+                scale = min(1.0, max_side / max(w, h))
+                dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
+                stride = max(1, len(payload) // max(dw * dh, 1)) if payload else 1
+                resized = payload[::stride]
+                rows["asset_id"].append(aid)
+                rows["modality"].append(mod)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["dst_width"].append(dw)
+                rows["dst_height"].append(dh)
+                rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(rows).astype(
+                {c: "int32" for c in ("src_width", "src_height", "dst_width", "dst_height")}
+            )
+
+    return pruned.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame to extract,
     computed declaratively from metadata (no decode needed) — the

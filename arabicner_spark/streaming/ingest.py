@@ -50,6 +50,39 @@ def streaming_mentions(stream: DataFrame, gazetteer) -> DataFrame:
     return pruned.mapInPandas(score, schema=schema)
 
 
+def streaming_conv_totals(mentions_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    a per-conversation running mention counter that survives micro-batch
+    boundaries (the state store carries it), emitting the updated total
+    whenever a conversation receives new mentions.
+
+    This is the mandate's custom-stateful-operator shape: state schema
+    is explicit, the update function is Arrow-batched (iterator of
+    pandas frames per key), and output mode is ``update``.  The counter
+    is monotone, so downstream consumers may take max-per-key when
+    reading an update-mode sink.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, total_mentions bigint"
+    state_schema = "n bigint"
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"conv_id": [key[0]], "total_mentions": [n]})
+
+    return (
+        mentions_stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def mention_rate(mentions_stream: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked windowed mention counts per type (late data: 2 min)."""
     return (

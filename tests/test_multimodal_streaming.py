@@ -1,6 +1,7 @@
 """Multimodal plumbing (stubbed decode) and streaming NER surface."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from arabicner_spark import schemas
 from arabicner_spark.operators import multimodal
@@ -99,3 +100,64 @@ def test_streaming_mention_rate_watermarked(spark, tmp_path):
     got = spark.sql("select * from rates").collect()
     assert got and all(r.n_mentions > 0 for r in got)
     assert {"window_start", "type", "n_mentions"} == set(got[0].asDict())
+
+
+def test_resize_assets_stub(spark, assets):
+    got = {r.asset_id: r for r in multimodal.resize_assets(assets, max_side=32).collect()}
+    assert set(got) == {"a1", "a2", "a3", "a4"}
+    for r in got.values():
+        # aspect-preserving: the longer side is capped, ratio kept
+        assert max(r.dst_width, r.dst_height) <= 32
+        assert r.dst_width <= r.src_width and r.dst_height <= r.src_height
+        assert len(r.resized_md5) == 32
+    # deterministic across runs
+    again = {r.asset_id: r.resized_md5 for r in multimodal.resize_assets(assets, max_side=32).collect()}
+    assert again == {k: v.resized_md5 for k, v in got.items()}
+    # no-op when already small enough
+    big = {r.asset_id: r for r in multimodal.resize_assets(assets, max_side=4096).collect()}
+    assert all(r.dst_width == r.src_width and r.dst_height == r.src_height for r in big.values())
+
+
+def test_streaming_stateful_conv_totals(spark, tmp_path):
+    """applyInPandasWithState running counter: totals must accumulate
+    ACROSS micro-batches (state store), and the final per-conversation
+    value must equal the batch-mode mention count."""
+    from datetime import datetime, timezone
+
+    from arabicner_spark.operators import ner
+
+    gaz = {"E": {("spark",), ("join",)}}
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (f"c{i % 3}", i, "user", "spark does a join here", None, ts)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    src = str(tmp_path / "stateful_src")
+    # many small files -> maxFilesPerTrigger=4 forces several micro-batches
+    df.repartition(12).write.parquet(src)
+
+    totals = ingest.streaming_conv_totals(
+        ingest.streaming_mentions(ingest.stream_transcripts(spark, src), gaz)
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("t_conv_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT conv_id, max(total_mentions) AS n FROM t_conv_totals GROUP BY conv_id"
+    ).collect()
+    want = {
+        r.conv_id: r.n
+        for r in ner.extract_mentions(df, gaz)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.conv_id: r.n for r in got} == want and len(want) == 3
+    # more update rows than convs proves multi-batch accumulation
+    assert spark.sql("SELECT count(*) c FROM t_conv_totals").first().c > 3
