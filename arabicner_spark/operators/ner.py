@@ -14,9 +14,10 @@ Scale design:
   * column pruning BEFORE the Python stage — only (conv_id, turn_idx,
     text) crosses the Arrow boundary;
   * skew: a hot conversation must not land in a single Arrow batch, so
-    the stage input is repartitioned by (conv_id, turn_idx mod SALT) —
-    per-turn scoring needs no conversation locality (AQE cannot fix UDF-
-    stage skew, only join/agg skew);
+    the stage input is repartitioned on the full (conv_id, turn_idx)
+    turn key — per-turn scoring needs no conversation locality, and the
+    full key is uniform under any conv skew (AQE cannot fix UDF-stage
+    skew, only join/agg skew);
   * the gazetteer/weights are broadcast once per executor, not shipped
     per task closure;
   * batched argmax over the padded (B, T, L, C) tensor — the Arrow batch
@@ -37,8 +38,6 @@ from pyspark.sql import functions as F
 from arabicner_spark import schemas
 from arabicner_spark.functions import tagcore
 from arabicner_spark.functions.normalize import normalize_py
-
-TURN_SALT = 16  # minimum spread of one hot conv across tasks
 
 
 def make_score_batches(bc, score_fn=None, encoder=None, passthrough: tuple = ()):
@@ -161,8 +160,8 @@ def extract_mentions(
     """transcripts -> mentions (schemas.MENTIONS).
 
     ``gazetteer`` is the normalized {type: {phrase tuples}} dict (small;
-    broadcast).  ``salt_partitions`` explicitly repartitions the UDF
-    input by (conv_id, turn_idx % TURN_SALT) to break conversation skew.
+    broadcast).  ``salt_partitions`` sets the width of the full-turn-key
+    repartition that breaks conversation skew before the Python stage.
 
     ``score_fn`` / ``encoder`` plug in a real model + tokenizer (see
     make_score_batches and functions.bert_scorer.attach); defaults are
@@ -178,13 +177,25 @@ def extract_mentions(
     # (one parquet file) must not serialize the whole NER stage onto one
     # core.  Default width = cluster parallelism.
     n_parts = salt_partitions or spark.sparkContext.defaultParallelism
-    # salt modulus scales with the stage width: a fixed 16 would cap a
-    # hot conversation at 16 of N partitions (measured max/median 3.3 at
-    # N=32 on a 25%-hot corpus; ~1.2 with the scaled salt)
-    salt_mod = max(TURN_SALT, n_parts)
-    pruned = pruned.repartition(
-        n_parts, "conv_id", F.pmod("turn_idx", F.lit(salt_mod))
-    )
+    # Balance policy for the Python stage, in preference order:
+    #   1. If the input already has >= n_parts partitions (a parquet
+    #      scan with enough splits), use them as-is: scan splits are
+    #      BYTE-balanced regardless of key skew — a hot conversation is
+    #      just bytes spread across byte ranges — and per-turn scoring
+    #      needs no locality, so a repartition would only add a
+    #      full-corpus shuffle (measured: the shuffle was ~15% of the
+    #      mentions-stage wall on a 20.7M-turn corpus).
+    #   2. Otherwise (few files, giant row groups, narrow upstream)
+    #      repartition on the FULL turn key — hashing (conv_id,
+    #      turn_idx) is uniform under ANY conversation skew.  Coarser
+    #      salts (turn_idx % K) were measured worse on a 25%-hot
+    #      corpus: K=16 -> +37% wall, K=4N -> +25% (balls-in-bins
+    #      lumps); the full key erases the conv from the balance
+    #      question.
+    # ``salt_partitions`` forces policy 2 at the given width (callers
+    # passing a key-skew-partitioned upstream should force it).
+    if salt_partitions or pruned.rdd.getNumPartitions() < n_parts:
+        pruned = pruned.repartition(n_parts, "conv_id", "turn_idx")
 
     score_batches = make_score_batches(bc, score_fn=score_fn, encoder=encoder)
     return pruned.mapInPandas(score_batches, schema=schemas.MENTIONS)

@@ -45,7 +45,7 @@ def skew_leg(spark, sf_dir: str, cpus: int) -> dict:
     reports rows-per-shuffle-partition max/median for the two exchanges
     that could concentrate the hot conv:
 
-      * the NER stage's salted input, key (conv_id, turn_idx % 16) —
+      * the NER stage's repartitioned input, key (conv_id, turn_idx) —
         per-task work is linear in turns, so row balance IS task-time
         balance for the Python stage;
       * the triples groupBy, key (conv_id, turn_idx) — constant work
@@ -98,10 +98,7 @@ def skew_leg(spark, sf_dir: str, cpus: int) -> dict:
     tri_n = triples_op.extract_triples(m, tq.PREDS_TD, tq.WINDOW_TD).count()
     wall = round(time.time() - t0, 3)
 
-    salt_mod = max(ner.TURN_SALT, n_parts)  # mirrors extract_mentions
-    ner_ratio = ratio(
-        t, n_parts, F.col("conv_id"), F.pmod("turn_idx", F.lit(salt_mod))
-    )
+    ner_ratio = ratio(t, n_parts, F.col("conv_id"), F.col("turn_idx"))
     tri_ratio = ratio(m, shuffle_parts, F.col("conv_id"), F.col("turn_idx"))
     return {
         "hot_conv_turn_share": 0.25,

@@ -67,7 +67,8 @@ def test_ann_topk_rank_pushdown(spark, sf_dir):
 
 def test_hot_conversation_spreads_across_partitions(spark):
     """Extreme skew: one conversation with 4000 turns must not land in
-    one task — the salt repartition spreads it over TURN_SALT keys."""
+    one task — the (conv_id, turn_idx) repartition spreads its turns
+    uniformly."""
     import pyspark.sql.functions as F
 
     from arabicner_spark import schemas
