@@ -61,6 +61,31 @@ _LOGIT_HIT = 8.0
 # A gazetteer is {type_name: set of phrase tuples of normalized tokens}.
 Gazetteer = Dict[str, set]
 
+# Long-lived Python workers see an open vocabulary at 100 TB — every
+# per-process memo must be bounded.  Default cap for token-level memos.
+MEMO_CAP = 1_000_000
+
+
+class BoundedMemo(dict):
+    """A dict memo with a hard size cap: when full, it RESETS (clear)
+    rather than evicting — memo misses only cost a recompute, and a
+    wholesale reset is O(1) with zero bookkeeping on the hit path.
+    ``resets`` counts cap triggers (observable in tests)."""
+
+    __slots__ = ("cap", "resets")
+
+    def __init__(self, cap: int = MEMO_CAP):
+        super().__init__()
+        self.cap = cap
+        self.resets = 0
+
+    def put(self, key, value):
+        if len(self) >= self.cap:
+            self.clear()
+            self.resets += 1
+        self[key] = value
+        return value
+
 
 class PreparedGazetteer:
     """First-token-indexed gazetteer: one dict lookup decides whether a

@@ -85,26 +85,28 @@ def token_tags(spans: DataFrame, keys=("conv_id", "turn_idx", "level")) -> DataF
     )
 
 
-def nested_metrics(
+def nested_report_df(
     gold: DataFrame, pred: DataFrame, turn_tokens: DataFrame, n_levels: int
-) -> SimpleNamespace:
-    """The reference's full nested report — micro/macro/weighted P/R/F1
-    plus token accuracy (arabiner/utils/metrics.py:31-46, seqeval IOB2).
+) -> DataFrame:
+    """The reference's full nested report as ONE distributed plan — a
+    one-row DataFrame with micro/macro/weighted P/R/F1 plus token
+    accuracy (arabiner/utils/metrics.py:31-46, seqeval IOB2), unrounded.
 
     seqeval semantics reproduced:
-      * micro: pooled span counts (span_prf);
-      * macro: unweighted mean of per-type F1 over every type present
-        in gold OR pred;
-      * weighted: per-type F1 weighted by GOLD support (types with no
-        gold spans contribute 0 weight);
+      * micro: pooled span counts (tp / n_pred, tp / n_gold over sums);
+      * macro: unweighted mean of per-type P/R/F1 over every type
+        present in gold OR pred;
+      * weighted: per-type scores weighted by GOLD support (types with
+        no gold spans contribute 0 weight);
       * accuracy: token-level tag equality over the dataset duplicated
         once per level (seqeval.accuracy_score flattens exactly that),
         with un-spanned positions counting as "O".
 
-    ``turn_tokens`` is (conv_id, turn_idx, n_tokens); only per-type
-    counts (a #types-row frame) and two scalars reach the driver.
+    ``turn_tokens`` is (conv_id, turn_idx, n_tokens).  Everything is
+    aggregation: per-type frame (vocabulary-sized) -> one row; the
+    mismatch count and token total are one-row aggs crossJoined in —
+    nothing data-sized ever reaches the driver.
     """
-    micro = span_prf(gold, pred)
     g = gold.select(*SPAN_KEYS).distinct()
     p = pred.select(*SPAN_KEYS).distinct()
     tp = g.join(p, SPAN_KEYS, "inner").groupBy("type").agg(F.count("*").alias("tp"))
@@ -113,41 +115,83 @@ def nested_metrics(
         .join(p.groupBy("type").agg(F.count("*").alias("n_pred")), "type", "full")
         .join(tp, "type", "left")
         .fillna(0, ["n_gold", "n_pred", "tp"])
-        .collect()  # one row per entity type — vocabulary-sized
     )
-    f1s, weights = [], []
-    for r in counts:
-        prec = r.tp / r.n_pred if r.n_pred else 0.0
-        rec = r.tp / r.n_gold if r.n_gold else 0.0
-        f1s.append(2 * prec * rec / (prec + rec) if prec + rec else 0.0)
-        weights.append(r.n_gold)
-    macro_f1 = sum(f1s) / len(f1s) if f1s else 0.0
-    total_w = sum(weights)
-    weighted_f1 = (
-        sum(f * w for f, w in zip(f1s, weights)) / total_w if total_w else 0.0
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    per = counts.select(
+        "n_gold",
+        "n_pred",
+        "tp",
+        prec.alias("p_"),
+        rec.alias("r_"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0).alias("f_"),
     )
 
+    def _weighted(col):
+        return F.when(
+            F.sum("n_gold") > 0, F.sum(F.col(col) * F.col("n_gold")) / F.sum("n_gold")
+        ).otherwise(0.0)
+
+    mp = F.when(F.sum("n_pred") > 0, F.sum("tp") / F.sum("n_pred")).otherwise(0.0)
+    mr = F.when(F.sum("n_gold") > 0, F.sum("tp") / F.sum("n_gold")).otherwise(0.0)
+    agg = per.agg(
+        F.coalesce(mp, F.lit(0.0)).alias("micro_p"),
+        F.coalesce(mr, F.lit(0.0)).alias("micro_r"),
+        F.coalesce(F.avg("p_"), F.lit(0.0)).alias("macro_p"),
+        F.coalesce(F.avg("r_"), F.lit(0.0)).alias("macro_r"),
+        F.coalesce(F.avg("f_"), F.lit(0.0)).alias("macro_f1"),
+        F.coalesce(_weighted("p_"), F.lit(0.0)).alias("weighted_p"),
+        F.coalesce(_weighted("r_"), F.lit(0.0)).alias("weighted_r"),
+        F.coalesce(_weighted("f_"), F.lit(0.0)).alias("weighted_f1"),
+    )
+    pr = F.col("micro_p") + F.col("micro_r")
+    agg = agg.withColumn(
+        "micro_f1",
+        F.when(pr > 0, 2 * F.col("micro_p") * F.col("micro_r") / pr).otherwise(0.0),
+    )
+
+    # token accuracy: BIO-exploded tags, deduplicated — duplicate or
+    # same-level overlapping span rows must not fan out the full join
+    # and inflate the mismatch count (ADVICE r2).
     keys = ["conv_id", "turn_idx", "level", "pos"]
-    gt = token_tags(gold).withColumnRenamed("tag", "g")
-    pt = token_tags(pred).withColumnRenamed("tag", "p")
-    mismatches = (
+    gt = token_tags(g).distinct().withColumnRenamed("tag", "g")
+    pt = token_tags(p).distinct().withColumnRenamed("tag", "p")
+    mism = (
         gt.join(pt, keys, "full")
-        .where(
-            F.coalesce("g", F.lit("O")) != F.coalesce("p", F.lit("O"))
-        )
-        .count()
+        .where(F.coalesce("g", F.lit("O")) != F.coalesce("p", F.lit("O")))
+        .agg(F.count("*").alias("mismatches"))
     )
-    total_row = turn_tokens.agg(F.sum("n_tokens")).first()[0]
-    total = (total_row or 0) * n_levels
-    accuracy = (total - mismatches) / total if total else 1.0
+    tot = turn_tokens.agg(
+        (F.coalesce(F.sum("n_tokens"), F.lit(0)) * n_levels).alias("total_slots")
+    )
+    acc = mism.crossJoin(tot).select(
+        F.when(
+            F.col("total_slots") > 0,
+            (F.col("total_slots") - F.col("mismatches")) / F.col("total_slots"),
+        )
+        .otherwise(1.0)
+        .alias("accuracy")
+    )
+    return agg.crossJoin(acc).select(
+        "micro_p", "micro_r", "micro_f1",
+        "macro_p", "macro_r", "macro_f1",
+        "weighted_p", "weighted_r", "weighted_f1",
+        "accuracy",
+    )
 
+
+def nested_metrics(
+    gold: DataFrame, pred: DataFrame, turn_tokens: DataFrame, n_levels: int
+) -> SimpleNamespace:
+    """Driver-side view of nested_report_df (one collected row)."""
+    r = nested_report_df(gold, pred, turn_tokens, n_levels).first()
     return SimpleNamespace(
-        micro_f1=micro.f1,
-        macro_f1=macro_f1,
-        weights_f1=weighted_f1,
-        precision=micro.precision,
-        recall=micro.recall,
-        accuracy=accuracy,
+        micro_f1=r.micro_f1,
+        macro_f1=r.macro_f1,
+        weights_f1=r.weighted_f1,
+        precision=r.micro_p,
+        recall=r.micro_r,
+        accuracy=r.accuracy,
     )
 
 

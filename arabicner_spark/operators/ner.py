@@ -70,13 +70,15 @@ def make_score_batches(bc, score_fn=None, encoder=None, passthrough: tuple = ())
         pg = tagcore.prepare(gaz)  # first-token index, built once per task
         n_levels = len(typs)
         # normalize is pure; corpora repeat tokens heavily, so a
-        # per-task memo turns most calls into one dict hit
-        norm_cache: dict = {}
+        # per-task memo turns most calls into one dict hit.  Bounded:
+        # a long-lived worker sees an open vocabulary at scale, so the
+        # memo resets at tagcore.MEMO_CAP instead of growing forever.
+        norm_cache = tagcore.BoundedMemo(tagcore.MEMO_CAP)
 
         def norm_tok(w):
             v = norm_cache.get(w)
             if v is None:
-                v = norm_cache[w] = normalize_py(w)
+                v = norm_cache.put(w, normalize_py(w))
             return v
         for pdf in batches:
             texts = pdf["text"].fillna("").tolist()

@@ -743,9 +743,15 @@ def q_dedup_embedding(spark, sf_dir):
     no unbounded broadcast: the candidate join shuffles on (band, sig)
     and the verify joins shuffle on vec_id, all bounded and spillable.
     The oracle computes the identical bucketing (md5-derived weights),
-    so parity is by construction; measured recall vs the brute-force
-    pair set is 1.0 at every testdata sf with (5, 48) — see
-    tests/test_dedup_embedding.py and PLANS.md."""
+    so parity is by construction.  GATE SEMANTICS (ADVICE r2): because
+    oracle and query share the bucketing, this CORRECTNESS row pins
+    BUCKETING PARITY, not the exact near-dup pair set — recall against
+    the brute-force all-pairs truth is pinned separately by
+    tests/test_dedup_embedding.py::test_lsh_recall_is_one_on_testdata,
+    which runs at every sf refresh (measured 1.0 at every testdata sf
+    with (5, 48); expected per-pair miss rate at the cos 0.45
+    threshold is ~0.3%, so threshold-boundary pairs on NEW data may
+    drop — by design, see PLANS.md)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1287,11 +1293,14 @@ FROM g GROUP BY user_id"""
 
 def q_dedup_survivors(spark, sf_dir):
     """End-to-end dedup DECISION: exact-dup edges (same md5 text) UNION
-    near-dup LSH candidate pairs -> connected components -> keep the
-    min doc_id per cluster.  This is the operator a 100 TB corpus run
-    actually executes — per-document keep/drop, not just pair lists.
-    Never all-pairs: exact edges are member->group-min (one groupBy),
-    near-dup edges come from banded MinHash-LSH."""
+    near-dup LSH candidate pairs -> connected components -> keep ONE
+    deterministic survivor per cluster: the LEXICOGRAPHIC minimum of
+    the stringified doc_id (ids flow through CC as strings, so cluster
+    {9, 10} keeps doc 10 — '10' < '9'; any total order works for
+    dedup, this one needs no cast).  This is the operator a 100 TB
+    corpus run actually executes — per-document keep/drop, not just
+    pair lists.  Never all-pairs: exact edges are member->group-min
+    (one groupBy), near-dup edges come from banded MinHash-LSH."""
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
     )
@@ -1732,6 +1741,143 @@ SELECT type, n_gold, n_pred, tp,
 FROM rep3"""
 
 
+def q_stream_conv_totals(spark, sf_dir):
+    """The STREAMING pipeline, oracle-gated: transcripts parquet ->
+    readStream -> streaming_mentions (the same make_score_batches loop
+    as the batch NER stage) -> streaming_conv_totals (the custom
+    stateful applyInPandasWithState counter) -> availableNow-triggered
+    memory sink.  The counter is monotone per conversation, so
+    max-per-key over the update-mode sink is the final total — which
+    must equal the batch mention count per conversation (the DuckDB
+    oracle), proving the stateful operator survives micro-batch
+    boundaries without losing or double-counting.
+
+    Bounded run: availableNow drains the source and terminates, so the
+    driver's collect sees a complete, deterministic result.
+    """
+    import tempfile
+    import uuid
+
+    from arabicner_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="arabicner_stream_src_")
+    transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
+    stream = ingest.stream_transcripts(spark, src)
+    totals = ingest.streaming_conv_totals(
+        ingest.streaming_mentions(stream, gazetteer_dict_td())
+    )
+    qname = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("conv_id")
+        .agg(F.max("total_mentions").alias("total_mentions"))
+    )
+
+
+SQL_STREAM_CONV_TOTALS = f"""WITH {_SQL_T}, {_SQL_MEN}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS total_mentions
+FROM men GROUP BY conv_id"""
+
+
+def q_eval_nested_report(spark, sf_dir):
+    """Operator #17's FULL report (micro/macro/weighted P/R/F1 + token
+    accuracy, seqeval semantics per arabiner/utils/metrics.py:31-46) as
+    one oracle-gated row — the REAL operators/metrics.nested_report_df
+    plan, nothing driver-assembled.  gold = full-gazetteer mentions,
+    pred = GAZ_PRED mentions, accuracy over #tokens x #levels slots."""
+    from arabicner_spark.operators import metrics
+
+    gold = _mentions_ngram(spark, sf_dir)
+    pred = _mentions_ngram(spark, sf_dir, gaz_rows=GAZ_PRED)
+    tt = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    rep = metrics.nested_report_df(gold, pred, tt, n_levels=len(TYPES))
+    return rep.select(*[F.round(F.col(c), 4).alias(c) for c in rep.columns])
+
+
+SQL_EVAL_NESTED_REPORT = f"""WITH {_SQL_T}, {_SQL_MEN},
+{_sql_men_for(GAZ_PRED, 'gaz3', 'men3')},
+g AS (SELECT DISTINCT conv_id, turn_idx, level, type, start_tok, end_tok FROM men),
+p AS (SELECT DISTINCT conv_id, turn_idx, level, type, start_tok, end_tok FROM men3),
+tpc AS (
+  SELECT g.type, count(*) AS tp
+  FROM g JOIN p USING (conv_id, turn_idx, level, type, start_tok, end_tok)
+  GROUP BY g.type
+),
+ng AS (SELECT type, count(*) AS n_gold FROM g GROUP BY type),
+np AS (SELECT type, count(*) AS n_pred FROM p GROUP BY type),
+per AS (
+  SELECT coalesce(ng.type, np.type) AS type,
+         coalesce(n_gold, 0) AS n_gold, coalesce(n_pred, 0) AS n_pred
+  FROM ng FULL JOIN np ON ng.type = np.type
+),
+per2 AS (
+  SELECT per.type, n_gold, n_pred, coalesce(tpc.tp, 0) AS tp
+  FROM per LEFT JOIN tpc ON per.type = tpc.type
+),
+per3 AS (
+  SELECT n_gold, n_pred, tp,
+         CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END AS p_,
+         CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END AS r_
+  FROM per2
+),
+per4 AS (
+  SELECT *, CASE WHEN p_ + r_ > 0 THEN 2 * p_ * r_ / (p_ + r_) ELSE 0 END AS f_
+  FROM per3
+),
+agg AS (
+  SELECT
+    CASE WHEN sum(n_pred) > 0 THEN sum(tp) / sum(n_pred) ELSE 0 END AS micro_p,
+    CASE WHEN sum(n_gold) > 0 THEN sum(tp) / sum(n_gold) ELSE 0 END AS micro_r,
+    avg(p_) AS macro_p, avg(r_) AS macro_r, avg(f_) AS macro_f1,
+    CASE WHEN sum(n_gold) > 0 THEN sum(p_ * n_gold) / sum(n_gold) ELSE 0 END AS weighted_p,
+    CASE WHEN sum(n_gold) > 0 THEN sum(r_ * n_gold) / sum(n_gold) ELSE 0 END AS weighted_r,
+    CASE WHEN sum(n_gold) > 0 THEN sum(f_ * n_gold) / sum(n_gold) ELSE 0 END AS weighted_f1
+  FROM per4
+),
+gtag AS (
+  SELECT DISTINCT conv_id, turn_idx, level, start_tok + off AS pos,
+         CASE WHEN off = 0 THEN 'B-' || type ELSE 'I-' || type END AS gt
+  FROM (SELECT *, unnest(generate_series(0, end_tok - start_tok - 1)) AS off FROM g)
+),
+ptag AS (
+  SELECT DISTINCT conv_id, turn_idx, level, start_tok + off AS pos,
+         CASE WHEN off = 0 THEN 'B-' || type ELSE 'I-' || type END AS pt
+  FROM (SELECT *, unnest(generate_series(0, end_tok - start_tok - 1)) AS off FROM p)
+),
+mism AS (
+  SELECT count(*) AS mismatches
+  FROM gtag FULL JOIN ptag USING (conv_id, turn_idx, level, pos)
+  WHERE coalesce(gt, 'O') != coalesce(pt, 'O')
+),
+tot AS (
+  SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) * {len(TYPES)} AS total_slots
+  FROM t
+)
+SELECT round(agg.micro_p, 4) AS micro_p, round(agg.micro_r, 4) AS micro_r,
+       round(CASE WHEN agg.micro_p + agg.micro_r > 0
+                  THEN 2 * agg.micro_p * agg.micro_r / (agg.micro_p + agg.micro_r)
+                  ELSE 0 END, 4) AS micro_f1,
+       round(macro_p, 4) AS macro_p, round(macro_r, 4) AS macro_r,
+       round(macro_f1, 4) AS macro_f1,
+       round(weighted_p, 4) AS weighted_p, round(weighted_r, 4) AS weighted_r,
+       round(weighted_f1, 4) AS weighted_f1,
+       round(CASE WHEN total_slots > 0
+                  THEN (total_slots - mismatches) / total_slots
+                  ELSE 1 END, 4) AS accuracy
+FROM agg, mism, tot"""
+
+
 def q_eval_predictions_lines(spark, sf_dir):
     """Operator #20 (prediction sink format, Token.__str__ rows +
     blank-line segment separators — sources/predictions.py, mirroring
@@ -1832,5 +1978,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vocab_tokens": (q_vocab_tokens, SQL_VOCAB_TOKENS),
     "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
+    "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
+    "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
 }
