@@ -43,8 +43,12 @@ def main() -> None:
     )
 
     if args.input:
+        from arabicner_spark.sources.io import parquet_fingerprint
+
         transcripts = spark.read.parquet(args.input)
-        snapshot = args.input
+        # content fingerprint, not the path: a rewritten input at the
+        # same path must invalidate the resume manifests
+        snapshot = f"{args.input}@{parquet_fingerprint(args.input)}"
     else:
         transcripts = synth.transcripts_df(
             spark, n_convs=args.synth_convs, seed=args.synth_seed

@@ -281,6 +281,98 @@ def q_kg_mentions_bio(spark, sf_dir):
 SQL_KG_MENTIONS_BIO = SQL_KG_MENTIONS
 
 
+def _flat_tags_td():
+    """Deterministic flat tag vocab over the testdata types: O first,
+    then B-/I- per sorted type — the BertSeqTagger label space."""
+    return ["O"] + [f"{k}-{t}" for t in TYPES for k in ("B", "I")]
+
+
+def _flat_encoder_td(tokens, max_seq_len):
+    from arabicner_spark.functions import tagcore
+
+    first_idx, n_sub, n_tag = tagcore.encode_tokens(tokens, max_seq_len)
+    return first_idx, n_sub, n_tag, [101] + [0] * n_sub + [102]
+
+
+def _flat_score_td(turns, gaz, typs, max_seq_len, encs=None):
+    """The flat-family (BertSeqTagger) scoring path with a deterministic
+    stand-in head: per-subword FLAT logits over _flat_tags_td() whose
+    argmax is the gazetteer tag sequence, then the REAL
+    bert_scorer.flat_to_nested_logits projection — so the flat decode
+    semantics (argmax over the flat vocab, one tag per token,
+    BertTrainer.py:115,132 + to_segments :139-163) are what the oracle
+    gates, not a shortcut."""
+    import numpy as np
+
+    from arabicner_spark.functions import bert_scorer, tagcore
+
+    flat_tags = _flat_tags_td()
+    stoi = {t: i for i, t in enumerate(flat_tags)}
+    t2l, t2b = bert_scorer.flat_tag_maps(flat_tags, list(typs))
+    out = []
+    for norm, e in zip(turns, encs):
+        base = tagcore.score_turn(norm, gaz, typs, max_seq_len, enc=e[:3])
+        ids = np.argmax(base, axis=-1)  # (T, L)
+        flat = np.zeros((1, base.shape[0], len(flat_tags)), np.float32)
+        flat[0, :, stoi["O"]] = 1.0
+        for lvl in range(ids.shape[1]):
+            col = ids[:, lvl]
+            for lab, pre in ((tagcore.B_ID, "B-"), (tagcore.I_ID, "I-")):
+                for pos in np.flatnonzero(col == lab):
+                    flat[0, pos, stoi[f"{pre}{typs[lvl]}"]] = 5.0
+        nested = bert_scorer.flat_to_nested_logits(flat, t2l, t2b, len(typs))
+        out.append(nested[0])
+    return out
+
+
+_flat_score_td.batched = True
+
+
+# Flat-family gazetteer: GAZ minus the unigrams that token-collide with
+# a bigram of another type ("join" B-KEYW vs I-OPER inside "hash join",
+# "scan"/"sort" likewise).  A single-tag-per-token model cannot express
+# a token carrying two types, so its gazetteer must be token-disjoint
+# ACROSS types for the mention set to be SQL-expressible (GAZ itself
+# only guarantees disjointness WITHIN a type).  All 5 types survive, so
+# level indices still match the global sorted TYPES order.
+GAZ_FLAT = [r for r in GAZ if r[0] not in ("join", "scan", "sort")]
+
+
+def q_kg_mentions_flat(spark, sf_dir):
+    """The FLAT model family (BertSeqTagger) through the real Spark NER
+    stage: flat per-subword logits -> flat argmax (one tag per token,
+    BertTrainer.py:115,132) -> level projection
+    (functions/bert_scorer.flat_to_nested_logits) -> shared decode.
+    Over the token-disjoint GAZ_FLAT the flat family emits exactly the
+    n-gram match set, giving the flat branch a full-strength SQL oracle
+    like the nested branch has."""
+    t = transcripts(spark, sf_dir)
+    gaz: Dict[str, set] = {}
+    for phrase, typ, _n in GAZ_FLAT:
+        gaz.setdefault(typ, set()).add(tuple(phrase.split()))
+    return ner.extract_mentions(
+        t, gaz, encoder=_flat_encoder_td, score_fn=_flat_score_td
+    )
+
+
+_SQL_GAZ_FLAT = "gazf(phrase, type, level, len) AS (VALUES " + ", ".join(
+    f"('{p}', '{t}', {TYPES.index(t)}, {n})" for p, t, n in GAZ_FLAT
+) + ")"
+
+SQL_KG_MENTIONS_FLAT = f"""WITH {_SQL_T}, {_SQL_MEN},
+{_SQL_GAZ_FLAT},
+menf AS (
+  SELECT tok2.conv_id, tok2.turn_idx, g.level, g.type,
+         pos AS start_tok, CAST(pos + 1 AS INTEGER) AS end_tok, w AS text
+  FROM tok2 JOIN gazf g ON g.len = 1 AND g.phrase = w
+  UNION ALL
+  SELECT tok2.conv_id, tok2.turn_idx, g.level, g.type,
+         pos AS start_tok, CAST(pos + 2 AS INTEGER) AS end_tok, w || ' ' || w2 AS text
+  FROM tok2 JOIN gazf g ON g.len = 2 AND w2 IS NOT NULL AND g.phrase = w || ' ' || w2
+)
+SELECT conv_id, turn_idx, level, type, start_tok, end_tok, text FROM menf"""
+
+
 def q_kg_triples(spark, sf_dir):
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
     return triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
@@ -933,19 +1025,13 @@ IVF_CELLS = 8  # coarse centroids = vectors with vec_id < 8 (deterministic)
 IVF_NPROBE = 2
 
 
-def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
-    first IVF_CELLS vectors), every vector assigned to its nearest
-    centroid (one broadcast join against 8 rows — no shuffle), queries
-    probe their IVF_NPROBE nearest cells, exact cosine only within the
-    probed cells.  The cell id is the shuffle key of the search join —
-    the canonical IVF plan shape, scale-bounded by cell fan-in.
-
-    Assignment/probing rank on round(cos,4) with centroid-id tie-break,
-    making the cell structure engine-portable and exact."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+def ivf_ranked(e: DataFrame) -> DataFrame:
+    """Per-vector centroid ranking for the IVF index: every vector
+    scored against the IVF_CELLS coarse centroids (one broadcast of 8
+    rows — a constant of the index, not of data size), ranked by
+    round(cos,4) with centroid-id tie-break.  cr=1 is the assignment;
+    cr<=nprobe are the probe cells.  Shared by q_ann_ivf and the bench's
+    cell-balance leg so the measured fan-in IS the query's layout."""
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("vc")
     )
@@ -960,7 +1046,23 @@ def q_ann_ivf(spark, sf_dir):
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cid").asc()
     )
-    ranked = scored_c.withColumn("cr", F.row_number().over(w_assign))
+    return scored_c.withColumn("cr", F.row_number().over(w_assign))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    first IVF_CELLS vectors), every vector assigned to its nearest
+    centroid (one broadcast join against 8 rows — no shuffle), queries
+    probe their IVF_NPROBE nearest cells, exact cosine only within the
+    probed cells.  The cell id is the shuffle key of the search join —
+    the canonical IVF plan shape, scale-bounded by cell fan-in.
+
+    Assignment/probing rank on round(cos,4) with centroid-id tie-break,
+    making the cell structure engine-portable and exact."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ranked = ivf_ranked(e)
     assigned = ranked.where(F.col("cr") == 1).select("vec_id", "v", F.col("cid").alias("cell"))
     probes = ranked.where(
         (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < 20)
@@ -970,6 +1072,7 @@ def q_ann_ivf(spark, sf_dir):
         F.zip_with("vq", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     nq = F.sqrt(F.aggregate("vq", F.lit(0.0), lambda a, x: a + x * x))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     scored = (
         probes.join(assigned, "cell")
         .where(F.col("q") != F.col("vec_id"))
@@ -1940,6 +2043,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
+    "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_linked": (q_kg_linked, SQL_KG_LINKED),
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),

@@ -5,6 +5,16 @@ line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
 Timing = full materialization of each query (count() over the final
 plan); the flagship kg_edges number also yields a triples/sec figure
 (the BASELINE.json headline metric).
+
+Measurement design (VERDICT r2 item 1): this VM's run-to-run spread is
+±15% (hypervisor weather, BENCH/BASELINE.md variance table), while the
+sf0.1 queries run 0.2–8 s — a single-shot bench cannot distinguish a
+real 20% regression from noise.  So every query runs
+$SPARK_GRAFT_BENCH_REPEATS times (default 3) in round-robin order
+(whole-suite sweeps, not back-to-back repeats, so a slow patch of VM
+weather hits all queries equally instead of burying one); "queries"
+carries per-query MEDIANS, "spread" carries [min, max], and the
+headline total is the sum of medians.
 """
 
 from __future__ import annotations
@@ -109,9 +119,73 @@ def skew_leg(spark, sf_dir: str, cpus: int) -> dict:
     }
 
 
+def ivf_cells_leg(spark, sf_dir: str) -> dict:
+    """IVF cell fan-in balance (VERDICT r2 item 8): rows per coarse
+    cell, max/median, using the EXACT assignment the ann_ivf query
+    shuffles on (shared ivf_ranked helper).  The search join's shuffle
+    key is the cell id, so this ratio IS the skew AQE's skew-join has
+    to split at scale."""
+    from pyspark.sql import functions as F
+
+    from arabicner_spark.plans import testdata_queries as tq
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sizes = (
+        tq.ivf_ranked(e)
+        .where(F.col("cr") == 1)
+        .groupBy("cid")
+        .count()
+    )
+    s = sizes.agg(
+        F.max("count").alias("mx"),
+        F.median("count").alias("md"),
+        F.sum("count").alias("n"),
+        F.count("*").alias("cells"),
+    ).first()
+    return {
+        "cells": int(s.cells),
+        "nprobe": tq.IVF_NPROBE,
+        "rows": int(s.n),
+        "cell_rows_max": int(s.mx),
+        "cell_rows_max_over_median": round(float(s.mx) / float(s.md), 2),
+    }
+
+
+def aqe_artifact_leg(spark, sf_dir: str, repeats: int) -> dict:
+    """kg_edges with AQE post-shuffle coalescing disabled — the control
+    from the r3 regression attribution (PLANS.md "kg_edges r1→r2
+    regression"): at toy sf AQE folds the post-NER exchanges to 1-2
+    partitions (tiny blocks), serializing the explode stage; at real
+    block sizes it never would.  This leg pins the artifact's magnitude
+    every round so headline kg_edges moves can be decomposed into
+    real-plan change vs coalescing behavior."""
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    fn, _ = QUERIES["kg_edges"]
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        samples = []
+        for _ in range(max(repeats, 2)):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s = sorted(samples)
+    return {
+        "kg_edges_no_coalesce_median": round(
+            (s[len(s) // 2] + s[(len(s) - 1) // 2]) / 2, 3
+        ),
+        "samples": samples,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -129,19 +203,29 @@ def main() -> None:
 
     from arabicner_spark.plans.testdata_queries import QUERIES
 
-    timings = {}
+    samples: dict[str, list] = {name: [] for name in HEADLINE}
     counts = {}
-    for name in HEADLINE:
-        fn, _ = QUERIES[name]
-        t0 = time.time()
-        counts[name] = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _sweep in range(repeats):
+        for name in HEADLINE:
+            fn, _ = QUERIES[name]
+            t0 = time.time()
+            counts[name] = fn(spark, sf_dir).count()
+            samples[name].append(round(time.time() - t0, 3))
 
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return round((s[n // 2] + s[(n - 1) // 2]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in samples.items()}
+    spread = {name: [min(xs), max(xs)] for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     triples_per_sec = (
         round(counts["kg_edges"] / timings["kg_edges"], 1) if timings.get("kg_edges") else None
     )
     skew = skew_leg(spark, sf_dir, cpus)
+    ivf = ivf_cells_leg(spark, sf_dir)
+    aqe = aqe_artifact_leg(spark, sf_dir, repeats)
     print(
         json.dumps(
             {
@@ -149,11 +233,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": sf,
                 "cpus": cpus,
                 "rows": counts,
                 "kg_edges_triples_per_sec": triples_per_sec,
                 "skew_hot_conv": skew,
+                "ivf_cells": ivf,
+                "aqe_coalesce_artifact": aqe,
             }
         )
     )

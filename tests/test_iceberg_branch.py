@@ -10,7 +10,7 @@ surface) is integration-tested elsewhere (tests/test_resume.py).
 
 from unittest.mock import MagicMock
 
-from arabicner_spark.sources.io import TableIO, iceberg_available
+from arabicner_spark.sources.io import TableIO, iceberg_available, parquet_fingerprint
 
 
 def _fluent_writer():
@@ -58,6 +58,38 @@ def test_iceberg_read_and_exists_identifiers():
     sp.catalog.tableExists.return_value = True
     assert io.exists("mentions") is True
     sp.catalog.tableExists.assert_called_once_with("kg.prod.mentions")
+
+
+def test_iceberg_snapshot_id_queries_snapshots_table():
+    """The resume rule's snapshot identity on the iceberg branch: the
+    latest snapshot_id from the table's .snapshots metadata table."""
+    sp = MagicMock()
+    row = MagicMock()
+    row.snapshot_id = 7812930412
+    sp.sql.return_value.first.return_value = row
+    io = TableIO(spark=sp, root="kg.prod", mode="iceberg")
+    assert io.snapshot_id("edges") == "7812930412"
+    (sql_arg,), _ = sp.sql.call_args
+    assert "kg.prod.edges.snapshots" in sql_arg
+    assert "ORDER BY committed_at DESC" in sql_arg
+    # empty table (no snapshots yet) -> empty identity, never a crash
+    sp.sql.return_value.first.return_value = None
+    assert io.snapshot_id("edges") == ""
+
+
+def test_parquet_snapshot_id_changes_on_rewrite(spark, tmp_path):
+    """The parquet facade's snapshot identity: stable across re-reads,
+    different after ANY rewrite (fresh part-file UUIDs)."""
+    io = TableIO(spark=spark, root=str(tmp_path), mode="parquet")
+    df = spark.range(100).toDF("n")
+    io.write(df, "t")
+    s1 = io.snapshot_id("t")
+    assert s1 == io.snapshot_id("t")  # deterministic re-read
+    io.write(df, "t")  # same CONTENT, new materialization
+    s2 = io.snapshot_id("t")
+    assert s1 != s2
+    # and the standalone fingerprint matches the facade's
+    assert s2 == parquet_fingerprint(str(tmp_path / "t"))
 
 
 def _spark_with_conf(pairs):
