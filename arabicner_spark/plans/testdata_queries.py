@@ -442,6 +442,46 @@ FROM tri JOIN alias_best sa ON tri.subj = sa.alias
          JOIN alias_best sb ON tri.obj = sb.alias"""
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Iterative graph analytics over the canonical KG: 5 PageRank
+    power steps (damping 0.85) via the REAL operators/graph.pagerank
+    driver-loop operator (join + groupBy per round, localCheckpoint to
+    cut lineage — the same iterative-dataflow class as connected
+    components).  The oracle unrolls the 5 iterations as chained CTEs,
+    so even an iterative algorithm gets exact value-hash parity."""
+    from arabicner_spark.operators.graph import pagerank
+
+    edges = q_kg_edges(spark, sf_dir)
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("node", F.round("rank", 4).alias("rank"))
+
+
+def _sql_pr_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT nd.node, 0.15 / cnt.n + 0.85 * coalesce(s.inflow, 0) AS rank
+  FROM nd CROSS JOIN cnt
+  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / od.outd) AS inflow
+             FROM {prev} p JOIN ed e ON e.src = p.node JOIN od ON od.src = e.src
+             GROUP BY e.dst) s ON s.node = nd.node
+)"""
+
+
+SQL_KG_PAGERANK = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}, {_SQL_ALIAS},
+ed AS (SELECT DISTINCT sa.entity_id AS src, sb.entity_id AS dst
+       FROM tri JOIN alias_best sa ON tri.subj = sa.alias
+                JOIN alias_best sb ON tri.obj = sb.alias),
+nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM ed GROUP BY src),
+pr0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nd CROSS JOIN cnt),
+{_sql_pr_iter('pr0', 'pr1')},
+{_sql_pr_iter('pr1', 'pr2')},
+{_sql_pr_iter('pr2', 'pr3')},
+{_sql_pr_iter('pr3', 'pr4')},
+{_sql_pr_iter('pr4', 'pr5')}
+SELECT node, round(rank, 4) AS rank FROM pr5"""
+
+
 def q_kg_degrees(spark, sf_dir):
     """Graph analytics over the materialized KG: per-node out/in degree
     and distinct-neighbor counts from the canonical edge table.  One
@@ -1674,6 +1714,118 @@ dec AS (
 SELECT doc_id, reason, reason = 'ok' AS keep FROM dec"""
 
 
+def q_conll_roundtrip(spark, sf_dir):
+    """Operator #1 (CoNLL scan, arabiner/utils/data.py:28-49) oracle-
+    gated: a deterministic CoNLL file is synthesized from ``documents``
+    (one segment per doc, one token line per word, even-length tokens
+    carrying a second label to exercise the multi-label split), then
+    parsed back by the REAL distributed reader
+    (sources/conll_spark.read_conll — two-phase prefix-sum segment ids)
+    and compared against the direct SQL derivation.
+
+    The collect below is FIXTURE SYNTHESIS (bounded: the documents
+    table), not part of the operator under test; the parse itself is
+    fully distributed."""
+    import os
+    import tempfile
+
+    from arabicner_spark.sources.conll_spark import read_conll
+
+    rows = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").collect()
+    )
+    lines = []
+    for r in rows:
+        for w in r.text.split(" "):
+            lines.append(f"{w} O MISC" if len(w) % 2 == 0 else f"{w} O")
+        lines.append("")
+    path = os.path.join(tempfile.mkdtemp(prefix="arabicner_conll_rt_"), "docs.conll")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    df = read_conll(spark, path)
+    return df.select(
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        "pos",
+        "token",
+        F.array_join("tags", "|").alias("tags"),
+    )
+
+
+SQL_CONLL_ROUNDTRIP = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+segmap AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seg_id
+  FROM (SELECT DISTINCT doc_id FROM documents)
+)
+SELECT s.seg_id, t.pos, t.w AS token,
+       CASE WHEN len(t.w) % 2 = 0 THEN 'O|MISC' ELSE 'O' END AS tags
+FROM tok t JOIN segmap s USING (doc_id)"""
+
+
+def q_tsv_process(spark, sf_dir):
+    """Operators #2/#3 (Wojood TSV scan + row filters + segment-boundary
+    detection, arabiner/bin/process.py:24-46) oracle-gated: a
+    deterministic TSV is synthesized from ``documents`` (one sentence
+    per doc; per doc three JUNK rows exercising each reference filter —
+    multi-word token, invalid label, empty token), parsed by the REAL
+    sources/process.py pipeline (read_wojood_tsv -> clean_rows ->
+    to_segments), and compared against the direct SQL derivation (which
+    contains only the surviving rows — the filters must drop exactly
+    the junk).
+
+    The collect is fixture synthesis (bounded), not the operator."""
+    import os
+    import tempfile
+
+    from arabicner_spark.sources.process import clean_rows, read_wojood_tsv, to_segments
+
+    rows = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").collect()
+    )
+    lines = ["idx\tsent_id\textra\ttoken\tlabels"]
+    for r in rows:
+        for w in r.text.split(" "):
+            lab = "B-MISC O" if len(w) % 2 == 0 else "O"
+            lines.append(f"0\t{r.doc_id}\tx\t{w}\t{lab}")
+        lines.append(f"0\t{r.doc_id}\tx\tbad token\tO")  # multi-word -> drop
+        lines.append(f"0\t{r.doc_id}\tx\tjunk\tBAD")  # label w/o '-' -> drop
+        lines.append(f"0\t{r.doc_id}\tx\t\tO")  # empty token -> drop
+    path = os.path.join(tempfile.mkdtemp(prefix="arabicner_tsv_"), "export.tsv")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    seg = to_segments(clean_rows(read_wojood_tsv(spark, path)))
+    return seg.select(
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        F.posexplode("tokens").alias("pos", "t"),
+    ).select(
+        "seg_id",
+        "pos",
+        F.col("t.token").alias("token"),
+        F.array_join("t.labels", "|").alias("labels"),
+    )
+
+
+SQL_TSV_PROCESS = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+segmap AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seg_id
+  FROM (SELECT DISTINCT doc_id FROM documents)
+)
+SELECT s.seg_id, t.pos, t.w AS token,
+       CASE WHEN len(t.w) % 2 = 0 THEN 'B-MISC|O' ELSE 'O' END AS labels
+FROM tok t JOIN segmap s USING (doc_id)"""
+
+
 # ------------------------------------------------------ vocab / eval family
 
 # pred-side gazetteer for the evaluation queries: "scan" dropped (recall
@@ -2050,6 +2202,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_edges": (q_kg_edges, SQL_KG_EDGES),
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
     "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
     "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
@@ -2084,5 +2237,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
+    "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
+    "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
 }
