@@ -1826,6 +1826,107 @@ SELECT s.seg_id, t.pos, t.w AS token,
 FROM tok t JOIN segmap s USING (doc_id)"""
 
 
+def q_rel_asof_click(spark, sf_dir):
+    """As-of join (operators/asof.py — the union + running-window
+    composition): every 'error' event attached to the same user's
+    LATEST preceding-or-simultaneous 'click'.  Clicks are deduped to
+    one row per (user_id, ts) first so the tied-timestamp payload is
+    engine-deterministic.  Oracle = DuckDB's native ASOF LEFT JOIN —
+    the operator's semantics are pinned against a first-class
+    implementation, not a reimplementation."""
+    from arabicner_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            # events.ts reads as TIMESTAMP_NTZ; session TZ is UTC, so the
+            # cast interprets the same wall instant DuckDB's epoch_us does
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts_us"),
+            "click_value",
+        )
+    )
+    out = asof_join(
+        errors, clicks, keys=["user_id"], left_ts="err_ts", right_ts="ts",
+        value_cols=["click_ts_us", "click_value"],
+    )
+    # no-predecessor rows carry NULL payloads (left-join semantics);
+    # sentinel-fill for the driver's order-insensitive row sort, which
+    # cannot compare None against numbers
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("err_ts").cast("timestamp")).alias("err_ts_us"),
+        F.coalesce("click_ts_us", F.lit(-1)).alias("click_ts_us"),
+        F.round(F.coalesce("click_value", F.lit(-1.0)), 4).alias("click_value"),
+    )
+
+
+SQL_REL_ASOF_CLICK = """
+WITH err AS (
+  SELECT event_id, user_id, ts AS err_ts FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(e.err_ts) AS BIGINT) AS err_ts_us,
+       coalesce(CAST(epoch_us(c.ts) AS BIGINT), -1) AS click_ts_us,
+       round(coalesce(c.click_value, -1.0), 4) AS click_value
+FROM err e ASOF LEFT JOIN clk c
+  ON e.user_id = c.user_id AND e.err_ts >= c.ts"""
+
+
+def q_rel_cube(spark, sf_dir):
+    """Grouping-sets coverage: revenue CUBE over (region, order
+    priority) — two broadcast dimension joins then one multi-grouping
+    aggregate (Spark plans Expand + single hash agg; map-side partial
+    per grouping set).  Rollup rows are 'ALL'-filled so the comparator
+    never sorts NULLs."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.cube("r_name", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+SQL_REL_CUBE = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderpriority)"""
+
+
 # ------------------------------------------------------ vocab / eval family
 
 # pred-side gazetteer for the evaluation queries: "scan" dropped (recall
@@ -2226,6 +2327,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
+    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
+    "rel_cube": (q_rel_cube, SQL_REL_CUBE),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
