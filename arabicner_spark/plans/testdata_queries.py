@@ -1927,6 +1927,55 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY CUBE (r_name, o_orderpriority)"""
 
 
+RANGE_N_WINDOWS = 40
+RANGE_STEP_S = 37 * 60  # window i starts at t0 + i*37min
+RANGE_LEN_S = 90 * 60  # ... and lasts 90min (windows overlap)
+RANGE_T0 = 1704067200  # 2024-01-01T00:00:00Z — the events epoch
+
+
+def q_rel_range_windows(spark, sf_dir):
+    """Range join (operators/ranges.py — bucketed interval containment,
+    no BroadcastNestedLoopJoin): 40 overlapping 90-minute analysis
+    windows, each event attached to EVERY window containing its
+    timestamp (start <= ts < end), rolled up to per-window counts and
+    value sums.  Bucket width = 1h ≈ the interval length, so each
+    interval replicates to ≤ 3 buckets and the join is an equi-join on
+    the bucket id."""
+    from arabicner_spark.operators.ranges import range_join
+
+    # microsecond precision on BOTH engines: unix_timestamp truncates
+    # sub-second parts while DuckDB's double->bigint cast rounds, so a
+    # seconds-based boundary would disagree on x.5+ events
+    us = F.lit(1_000_000)
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value"
+    )
+    win = spark.range(RANGE_N_WINDOWS).select(
+        F.col("id").alias("window_id"),
+        ((F.lit(RANGE_T0) + F.col("id") * RANGE_STEP_S) * us).alias("w_start"),
+        ((F.lit(RANGE_T0) + F.col("id") * RANGE_STEP_S + RANGE_LEN_S) * us).alias("w_end"),
+    )
+    joined = range_join(ev, "ts_us", win, "w_start", "w_end", bucket_width=3600 * 1_000_000)
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+SQL_REL_RANGE_WINDOWS = f"""
+WITH win AS (
+  SELECT i AS window_id,
+         ({RANGE_T0} + i * {RANGE_STEP_S}) * 1000000 AS w_start,
+         ({RANGE_T0} + i * {RANGE_STEP_S} + {RANGE_LEN_S}) * 1000000 AS w_end
+  FROM (SELECT unnest(generate_series(0, {RANGE_N_WINDOWS - 1})) AS i)
+),
+ev AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, value FROM events)
+SELECT window_id, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM ev JOIN win ON win.w_start <= ev.ts_us AND ev.ts_us < win.w_end
+GROUP BY window_id"""
+
+
 # ------------------------------------------------------ vocab / eval family
 
 # pred-side gazetteer for the evaluation queries: "scan" dropped (recall
@@ -2329,6 +2378,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
     "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
     "rel_cube": (q_rel_cube, SQL_REL_CUBE),
+    "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
