@@ -1,0 +1,57 @@
+"""KMV (k-minimum-values) distinct-count sketch — deterministic,
+mergeable, and EXACTLY reproducible across engines.
+
+Why KMV here: the usual sketches (HLL, theta) have engine-specific
+register layouts, so Spark's approx_count_distinct can never value-hash
+against DuckDB's.  KMV over a deterministic hash is different: hash
+every distinct item to md5 (portable, memory: md5-hex lexicographic
+order is identical everywhere), keep the k smallest hashes, estimate
+
+    D  ≈  (k - 1) / frac(h_k)
+
+where frac(h_k) maps the k-th smallest hash to (0, 1].  The k-mins set
+is a pure order statistic: per-partition top-k mins merge by taking
+the k smallest of the union — in Spark that is exactly the map-side
+partial top-k of TakeOrderedAndProject (orderBy + limit), so the
+sketch state crossing the wire is k rows per partition, never the
+distinct set.  The same computation is plain SQL in DuckDB, so the
+driver gate pins the ESTIMATE bit-for-bit, not "within rsd".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _frac(hex_col: Column, nibbles: int = 15) -> Column:
+    """First ``nibbles`` hex digits of an md5 as a fraction in (0, 1].
+
+    15 nibbles = 60 bits — exact in a double (no 64-bit rounding trap),
+    and DuckDB computes the identical value from the same md5 string.
+    """
+    return (F.conv(F.substring(hex_col, 1, nibbles), 16, 10).cast("double") + 1) / F.lit(
+        float(16**nibbles)
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """-> one row: (k, kth_hash, estimate) — the KMV distinct-count
+    estimate for ``col``.
+
+    Plan: distinct -> md5 -> global k smallest (TakeOrderedAndProject:
+    map-side partial top-k per partition, single k-row merge) -> the
+    k-th value's fraction.  No full sort, no collect of the value set.
+    """
+    hashes = (
+        df.select(F.md5(F.encode(F.col(col).cast("string"), "utf-8")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    kth = hashes.orderBy(F.col("h").desc()).limit(1)
+    return kth.select(
+        F.lit(k).alias("k"),
+        F.col("h").alias("kth_hash"),
+        F.round((k - 1) / _frac(F.col("h")), 4).alias("estimate"),
+    )

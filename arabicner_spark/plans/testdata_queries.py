@@ -1976,6 +1976,83 @@ FROM ev JOIN win ON win.w_start <= ev.ts_us AND ev.ts_us < win.w_end
 GROUP BY window_id"""
 
 
+def q_rel_hypertable_daily(spark, sf_dir):
+    """Hypertable rollup (operators/hypertable.py): events -> HOURLY
+    mergeable partials (count/sum/min/max) -> DAILY view by merging the
+    partials, never rescanning raw rows.  The oracle aggregates the raw
+    table directly per day — composition equality is exactly what makes
+    the continuous-aggregate pattern sound (algebraic merge states)."""
+    from arabicner_spark.operators.hypertable import reaggregate, rollup_partials
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    daily = reaggregate(rollup_partials(ev, "ts", "value", bucket="hour"), bucket="day")
+    return daily.select(
+        F.unix_timestamp("bucket_start").alias("day_epoch"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("total", 4).alias("total"),
+        F.round("mn", 4).alias("mn"),
+        F.round("mx", 4).alias("mx"),
+        F.round(F.col("total") / F.col("n"), 4).alias("avg_value"),
+    )
+
+
+SQL_REL_HYPERTABLE_DAILY = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total,
+       round(min(value), 4) AS mn,
+       round(max(value), 4) AS mx,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM events GROUP BY 1"""
+
+
+KMV_K = 64
+
+
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (functions/sketches.py) over
+    lineitem.l_orderkey, with the exact count alongside: unlike
+    HLL/theta (engine-specific registers), the k-minimum-values state
+    is a pure md5 order statistic, so the ESTIMATE itself value-hashes
+    against DuckDB — a sketch whose cross-engine correctness is gated
+    bit-for-bit, not "within rsd"."""
+    from arabicner_spark.functions.sketches import kmv_distinct
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = kmv_distinct(li, "l_orderkey", k=KMV_K)
+    exact = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("exact_n"))
+    return sk.crossJoin(exact).select(
+        "k",
+        "kth_hash",
+        "estimate",
+        "exact_n",
+        F.round(F.abs(F.col("estimate") - F.col("exact_n")) / F.col("exact_n"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+SQL_SKETCH_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+),
+topk AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+kth AS (SELECT max(h) AS kth_hash FROM topk),
+ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_n FROM lineitem),
+est AS (
+  SELECT {KMV_K} AS k, kth_hash,
+         round(({KMV_K} - 1) /
+               ((CAST(('0x' || substr(kth_hash, 1, 15)) AS UBIGINT)::DOUBLE + 1)
+                / {float(16 ** 15)}), 4) AS estimate
+  FROM kth
+)
+SELECT k, kth_hash, estimate, exact_n,
+       round(abs(estimate - exact_n) / exact_n, 4) AS rel_err
+FROM est, ex"""
+
+
 # ------------------------------------------------------ vocab / eval family
 
 # pred-side gazetteer for the evaluation queries: "scan" dropped (recall
@@ -2379,6 +2456,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
     "rel_cube": (q_rel_cube, SQL_REL_CUBE),
     "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
+    "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
