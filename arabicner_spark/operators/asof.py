@@ -65,8 +65,17 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(
-            c, F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    return u.where(F.col("__side") == 1).drop("__ts", "__side")
+    # one projection -> ONE Window node for every payload column (two
+    # withColumn calls would plan two Window passes over the sorted run)
+    filled = [
+        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(c)
+        for c in value_cols
+    ]
+    keep = [c for c in u.columns if c not in value_cols]
+    return (
+        u.select(*keep, *filled)
+        .where(F.col("__side") == 1)
+        .drop("__ts", "__side")
+    )
