@@ -2270,6 +2270,52 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS total_mentions
 FROM men GROUP BY conv_id"""
 
 
+def q_stream_mention_rate(spark, sf_dir):
+    """The WATERMARKED windowed streaming aggregate, oracle-gated:
+    streaming_mentions -> mention_rate (2-minute watermark, 1-minute
+    tumbling windows per type) drained with availableNow into an
+    update-mode memory sink; per-window counts are monotone, so
+    max-per-(window, type) is the final count — which must equal the
+    batch per-minute rollup (the DuckDB oracle).
+
+    The source is written as ONE file so the whole drain is a single
+    ordered micro-batch: the watermark (which only advances BETWEEN
+    batches) can then never drop events, making the streaming result
+    exactly the batch result — the property this gate pins."""
+    import tempfile
+    import uuid
+
+    from arabicner_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="arabicner_stream_rate_src_")
+    transcripts(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
+    rate = ingest.mention_rate(
+        ingest.streaming_mentions(ingest.stream_transcripts(spark, src), gazetteer_dict_td())
+    )
+    qname = f"stream_rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        rate.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_rate_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.unix_timestamp("window_start").alias("window_epoch"), "type")
+        .agg(F.max("n_mentions").cast("bigint").alias("n_mentions"))
+    )
+
+
+SQL_STREAM_MENTION_RATE = f"""WITH {_SQL_T}, {_SQL_MEN}
+SELECT t.ts_epoch - t.ts_epoch % 60 AS window_epoch, men.type,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM men JOIN t USING (conv_id, turn_idx)
+GROUP BY 1, 2"""
+
+
 def q_eval_nested_report(spark, sf_dir):
     """Operator #17's FULL report (micro/macro/weighted P/R/F1 + token
     accuracy, seqeval semantics per arabiner/utils/metrics.py:31-46) as
@@ -2469,6 +2515,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
+    "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
     "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
     "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
