@@ -1994,7 +1994,10 @@ def q_rel_hypertable_daily(spark, sf_dir):
         F.round("total", 4).alias("total"),
         F.round("mn", 4).alias("mn"),
         F.round("mx", 4).alias("mx"),
-        F.round(F.col("total") / F.col("n"), 4).alias("avg_value"),
+        # derive avg from the ROUNDED total: the raw two-stage partial
+        # sum and DuckDB's single-pass sum differ in the last ulps, and
+        # an avg sitting exactly on a 1e-4 rounding boundary would flip
+        F.round(F.round("total", 4) / F.col("n"), 4).alias("avg_value"),
     )
 
 
@@ -2004,7 +2007,7 @@ SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
        round(sum(value), 4) AS total,
        round(min(value), 4) AS mn,
        round(max(value), 4) AS mx,
-       round(sum(value) / count(*), 4) AS avg_value
+       round(round(sum(value), 4) / count(*), 4) AS avg_value
 FROM events GROUP BY 1"""
 
 
@@ -2051,6 +2054,53 @@ est AS (
 SELECT k, kth_hash, estimate, exact_n,
        round(abs(estimate - exact_n) / exact_n, 4) AS rel_err
 FROM est, ex"""
+
+
+def q_rel_customers_no_orders(spark, sf_dir):
+    """Anti-join coverage: customers with no PENDING ('P') order
+    (left_anti — plans as a broadcast/shuffled hash anti join, the NOT
+    EXISTS shape; the status filter pushes into the probe-side scan and
+    keeps the result non-empty so the gate exercises real rows)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P").select(
+        "o_custkey"
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+
+
+SQL_REL_NO_ORDERS = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')"""
+
+
+def q_rel_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, both linear interpolation on the sorted
+    values — exact, unlike t-digest/KLL approximations which could
+    never value-hash across engines)."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    return q.select(
+        "event_type",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
+SQL_REL_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type"""
 
 
 # ------------------------------------------------------ vocab / eval family
@@ -2504,6 +2554,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
     "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
+    "rel_customers_no_orders": (q_rel_customers_no_orders, SQL_REL_NO_ORDERS),
+    "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
