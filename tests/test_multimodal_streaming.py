@@ -161,3 +161,51 @@ def test_streaming_stateful_conv_totals(spark, tmp_path):
     assert {r.conv_id: r.n for r in got} == want and len(want) == 3
     # more update rows than convs proves multi-batch accumulation
     assert spark.sql("SELECT count(*) c FROM t_conv_totals").first().c > 3
+
+
+def test_streaming_state_survives_restart(spark, tmp_path):
+    """The state store must carry the counter across SEPARATE runs of
+    the query (the production restart path, not just micro-batch
+    boundaries): drain run 1, append new source files, drain run 2 with
+    the SAME checkpoint dir — totals must cover both drops, and run 2
+    must not recount run 1's data."""
+    from datetime import datetime, timezone
+
+    gaz = {"E": {("spark",)}}
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    out = str(tmp_path / "restart_out")
+
+    def drop(turn0, n):
+        # the memory sink cannot recover from a checkpoint; foreachBatch
+        # -> parquet-append is the recoverable update-mode sink shape
+        rows = [
+            (f"c{i % 2}", turn0 + i, "user", "spark here", None, ts)
+            for i in range(n)
+        ]
+        spark.createDataFrame(rows, schemas.TRANSCRIPTS).write.mode("append").parquet(src)
+        totals = ingest.streaming_conv_totals(
+            ingest.streaming_mentions(ingest.stream_transcripts(spark, src), gaz)
+        )
+        q = (
+            totals.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            r.conv_id: r.n
+            for r in spark.read.parquet(out)
+            .groupBy("conv_id")
+            .agg(F.max("total_mentions").alias("n"))
+            .collect()
+        }
+
+    assert drop(0, 6) == {"c0": 3, "c1": 3}
+    # 3+2 per conv: state restored from checkpoint, old files not replayed
+    assert drop(100, 4) == {"c0": 5, "c1": 5}
