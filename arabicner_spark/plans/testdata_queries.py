@@ -482,6 +482,30 @@ pr0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nd CROSS JOIN cnt),
 SELECT node, round(rank, 4) AS rank FROM pr5"""
 
 
+def q_kg_top_surfaces(spark, sf_dir):
+    """Per-group top-k: the 3 most frequent mention surfaces per entity
+    type (count desc, surface asc tie-break).  A PARTITIONED rank
+    window — Spark plans WindowGroupLimit, the map-side per-group top-k
+    pushdown (the global-top-k counterpart is text_top_tokens's
+    TakeOrderedAndProject; this pins the grouped variant)."""
+    m = _mentions_ngram(spark, sf_dir)
+    counts = m.groupBy("type", "text").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("type").orderBy(F.col("n").desc(), F.col("text").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("type", F.col("text").alias("surface"), F.col("n").cast("bigint").alias("n"), "rank")
+    )
+
+
+SQL_KG_TOP_SURFACES = f"""WITH {_SQL_T}, {_SQL_MEN},
+c AS (SELECT type, text, count(*) AS n FROM men GROUP BY type, text)
+SELECT type, text AS surface, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (PARTITION BY type ORDER BY n DESC, text ASC) AS INTEGER) AS rank
+FROM c
+QUALIFY rank <= 3"""
+
+
 def q_kg_degrees(spark, sf_dir):
     """Graph analytics over the materialized KG: per-node out/in degree
     and distinct-neighbor counts from the canonical edge table.  One
@@ -2526,6 +2550,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
     "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
+    "kg_top_surfaces": (q_kg_top_surfaces, SQL_KG_TOP_SURFACES),
     "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
     "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
     "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
