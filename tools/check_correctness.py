@@ -23,13 +23,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    if v is None:
+        # NULLs must sort against any type without TypeError
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return (1, "NaN")
+        return (1, round(v, 9))
     if isinstance(v, int):
-        return float(v) if -2**53 < v < 2**53 else v
-    return v
+        return (1, float(v)) if -2**53 < v < 2**53 else (1, v)
+    if isinstance(v, (list, tuple)):
+        return (2, tuple(canon(x) for x in v))
+    return (1, str(v)) if not isinstance(v, str) else (1, v)
 
 
 def rowset(cols, rows):
