@@ -21,11 +21,13 @@ Plan shape — why union+window instead of join+rank:
     the left row — the ASOF ``>=`` convention.
 
 Scale note: per-key data sorts within one task; a pathologically hot
-key concentrates its sort (AQE cannot split window skew).  For that
-regime, pre-slice time into coarse buckets, run the same window per
-(key, bucket), and stitch bucket boundaries with a per-(key, bucket)
-last-value pass — same algebra, bounded partitions.  Not needed at the
-testdata's cardinalities; documented for the 100 TB posture.
+key concentrates its sort (AQE cannot split window skew).
+``asof_join_bucketed`` is the implemented mitigation: time pre-sliced
+into coarse buckets, the same window run per (key, bucket) — bounded
+partitions under ANY key skew — and bucket boundaries stitched with a
+carry table of per-(key, bucket) last values whose own as-of pass runs
+over DISTINCT BUCKETS (rows bounded by time-range / bucket_width, not
+by data volume).  Equivalence to the plain operator is property-tested.
 """
 
 from __future__ import annotations
@@ -79,3 +81,59 @@ def asof_join(
         .where(F.col("__side") == 1)
         .drop("__ts", "__side")
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    bucket_width: int,
+) -> DataFrame:
+    """asof_join for HOT keys: identical output, skew-proof plan.
+
+    Pass 1 (the data-sized pass) windows per (key, time-bucket) — a key
+    holding half the corpus still splits into time-range/bucket_width
+    partitions.  Pass 2 stitches boundaries: the latest right row per
+    (key, bucket) forms a carry table; each DISTINCT left (key, bucket)
+    as-of joins against it over earlier buckets (rows = buckets, not
+    events), and the carried value fills left rows whose bucket holds
+    no in-bucket predecessor.  Timestamps must be integers in the same
+    unit as ``bucket_width``.
+    """
+    keys = list(keys)
+    lb = left.withColumn("__kb", F.floor(F.col(left_ts) / bucket_width).cast("long"))
+    rb = right.withColumn("__kb", F.floor(F.col(right_ts) / bucket_width).cast("long"))
+    # pass 1: in-bucket as-of — bounded windows under any key skew
+    infill = asof_join(lb, rb, keys + ["__kb"], left_ts, right_ts, value_cols)
+
+    # carry table: latest right payload per (key, bucket)
+    summaries = rb.groupBy(*keys, "__kb").agg(
+        *[F.max_by(c, F.col(right_ts)).alias(f"__prev_{c}") for c in value_cols]
+    )
+    # distinct left buckets as-of the latest summary in an EARLIER
+    # bucket — this union+window runs over bucket-granular rows only
+    lbuckets = lb.select(*keys, "__kb").distinct().withColumn(
+        "__pb", F.col("__kb") - 1
+    )
+    carried = asof_join(
+        lbuckets,
+        summaries.select(
+            *keys,
+            F.col("__kb").alias("__sb"),
+            *[F.col(f"__prev_{c}") for c in value_cols],
+        ),
+        keys,
+        "__pb",
+        "__sb",
+        [f"__prev_{c}" for c in value_cols],
+    ).select(*keys, "__kb", *[F.col(f"__prev_{c}") for c in value_cols])
+
+    out = infill.join(carried, keys + ["__kb"], "left")
+    final = [
+        F.coalesce(F.col(c), F.col(f"__prev_{c}")).alias(c) for c in value_cols
+    ]
+    keep = [c for c in infill.columns if c not in value_cols and c != "__kb"]
+    return out.select(*keep, *final)
