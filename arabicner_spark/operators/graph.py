@@ -1,4 +1,5 @@
-"""Iterative graph analytics over the materialized KG — PageRank.
+"""Graph analytics over the materialized KG — PageRank, triangles,
+neighborhood similarity, bounded BFS.
 
 The reference has no graph algorithms (it is an NER trainer); the
 north-star KG (nodes/edges tables) naturally wants them, and PageRank
@@ -7,6 +8,16 @@ connected-components operator (operators/components.py) also belongs
 to: a driver loop of joins/aggregations with ``localCheckpoint`` per
 round to cut lineage (SURVEY.md section 4: iterative fixpoints are
 orchestration, not planning — no custom Catalyst rule needed).
+
+``triangle_count`` / ``neighbor_jaccard`` / ``bfs_depths`` are the
+non-iterative (or depth-bounded) join-dataflow complements: triangle
+enumeration via degree-ordered edge orientation (the standard trick
+that bounds wedge fan-out by arboricity instead of max degree — a hub
+of degree D contributes O(D) oriented out-edges only if D is on the
+low side of its neighbors, so the wedge self-join never explodes on
+skewed degree distributions), Jaccard link prediction via one
+adjacency self-join + one aggregate, and BFS as a frontier loop with
+anti-join dedup.
 
 Scale shape per iteration: one join (ranks x edges, both keyed on the
 node id — at scale both sides shuffle on src once and AQE handles the
@@ -69,3 +80,158 @@ def pagerank(
             .localCheckpoint(eager=True)  # cut lineage per round
         )
     return ranks
+
+
+def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct undirected edge set as (a, b) with a < b, self-loops dropped.
+
+    Works for any orderable node id type (string entity ids, bigint
+    user ids) — ``least``/``greatest`` use the column's native order.
+    """
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """-> (node, n_triangles) for every node in >=1 triangle.
+
+    Degree-ordered orientation: every undirected edge is directed from
+    its lower-(degree, id) endpoint to the higher one, so each triangle
+    {x < y < z} (in that total order) is counted exactly once as the
+    wedge y<-x->z closed by oriented edge y->z.  The wedge self-join
+    fans out per node only over its ORIENTED out-neighbors — bounded by
+    graph arboricity, not raw degree, which is what keeps hub nodes
+    from exploding the shuffle at scale.  Three joins + one aggregate;
+    no CartesianProduct anywhere (plan-pinned in tests).
+    """
+    und = undirected_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    d2 = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = d2.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz")
+    )
+    wedges = o1.join(o2, "u").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closer = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tris = wedges.join(closer, ["y", "z"]).select("u", "y", "z")
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .unionByName(tris.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def neighbor_jaccard(
+    edges: DataFrame, src: str = "src", dst: str = "dst", min_common: int = 2
+) -> DataFrame:
+    """Link prediction: -> (node_a, node_b, common, jaccard) for node
+    pairs sharing >= ``min_common`` neighbors (pair itself need not be
+    an edge).  jaccard = |N(a) & N(b)| / |N(a) | N(b)| over DISTINCT
+    neighborhoods.  One adjacency self-join keyed on the shared
+    neighbor (the shuffle key is the wedge center, so AQE's skew split
+    handles hub centers) + one aggregate + a vocabulary-sized degree
+    join.  Single IEEE divide per row — deterministic across engines.
+    """
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("peer")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("peer"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))  # adj is distinct
+    x = adj.select(F.col("node").alias("node_a"), "peer")
+    y = adj.select(F.col("node").alias("node_b"), "peer")
+    pairs = (
+        x.join(y, "peer")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("bigint").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(deg.select(F.col("node").alias("node_a"), F.col("deg").alias("da")), "node_a")
+        .join(deg.select(F.col("node").alias("node_b"), F.col("deg").alias("db")), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    sources: list,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-depth BFS over the undirected graph: -> (node, depth)
+    with the MINIMUM hop count from any source, depth <= max_depth;
+    sources appear at depth 0 even if isolated.
+
+    The iterative frontier loop: each round is one join (frontier x
+    adjacency) + one anti-join against the visited set + distinct,
+    with ``localCheckpoint`` cutting lineage.  State is one row per
+    reached node — never collected to the driver.  Depth is bounded,
+    so the unrolled-CTE SQL oracle stays exact.
+    """
+    spark = edges.sparkSession
+    node_type = edges.schema[src].dataType
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("peer")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("peer"))
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.types import StructField, StructType
+
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sources], StructType([StructField("node", node_type)])
+    ).distinct()
+    visited = seed_df.withColumn("depth", F.lit(0).cast("int")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, "node")
+            .select(F.col("peer").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():  # one-boolean convergence action, like components.py
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

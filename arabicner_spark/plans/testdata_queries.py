@@ -2538,6 +2538,339 @@ UNION ALL SELECT '' AS value FROM documents"""
 
 # ---------------------------------------------------------------- registry
 
+# ------------------------------------------------- graph analytics (events)
+
+# Co-activity graph: users are nodes; an undirected edge connects two
+# users who emitted the same event_type within the same minute.  Unlike
+# the 13-entity KG (complete at testdata scale) this graph SCALES with
+# the data (sf0.001: 15 users/0 edges, sf0.01: 150/207, sf0.1:
+# 1500/23k), so triangle/jaccard/BFS outputs are non-degenerate.  The
+# bucket self-join is keyed on (event_type, minute) — the wedge center
+# — so a hot minute is a skew key AQE's skew split handles; per-bucket
+# fan-out is quadratic in bucket occupancy, which is the documented
+# cost model of any co-occurrence graph build.
+_SQL_COACT = """
+cob AS (SELECT DISTINCT user_id, event_type, epoch_us(ts) // 60000000 AS minute
+        FROM events),
+cound AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          FROM cob x JOIN cob y
+            ON x.event_type = y.event_type AND x.minute = y.minute
+               AND x.user_id < y.user_id)"""
+
+
+def _coactivity_edges(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("minute"),
+    ).distinct()
+    x = b.select(F.col("user_id").alias("ua"), "event_type", "minute")
+    y = b.select(F.col("user_id").alias("ub"), "event_type", "minute")
+    return (
+        x.join(y, ["event_type", "minute"])
+        .where(F.col("ua") < F.col("ub"))
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .distinct()
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting over the user co-activity graph via the
+    degree-ordered-orientation operator (operators/graph.triangle_count
+    — wedge fan-out bounded by arboricity, not max degree; the standard
+    100-TB-safe formulation).  Oracle replays the identical orientation
+    in SQL, so per-node triangle counts value-hash exactly."""
+    from arabicner_spark.operators.graph import triangle_count
+
+    return triangle_count(_coactivity_edges(spark, sf_dir))
+
+
+SQL_GRAPH_TRIANGLES = f"""WITH {_SQL_COACT},
+degx AS (SELECT node, count(*) AS deg FROM
+           (SELECT a AS node FROM cound UNION ALL SELECT b FROM cound)
+         GROUP BY node),
+ori AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS v,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN db.deg ELSE da.deg END AS dv
+        FROM cound e JOIN degx da ON da.node = e.a JOIN degx db ON db.node = e.b),
+tri AS (SELECT o1.u, o1.v AS y, o2.v AS z
+        FROM ori o1
+        JOIN ori o2 ON o1.u = o2.u
+                   AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        JOIN ori o3 ON o3.u = o1.v AND o3.v = o2.v),
+corners AS (SELECT u AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM corners GROUP BY node"""
+
+
+def q_graph_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction over the co-activity graph
+    (operators/graph.neighbor_jaccard): one adjacency self-join keyed
+    on the wedge center + one aggregate + a degree join; single IEEE
+    divide per row keeps the score bit-identical across engines."""
+    from arabicner_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(_coactivity_edges(spark, sf_dir), min_common=2)
+
+
+SQL_GRAPH_JACCARD = f"""WITH {_SQL_COACT},
+adjx AS (SELECT a AS node, b AS peer FROM cound
+         UNION ALL SELECT b, a FROM cound),
+degx AS (SELECT node, count(*) AS deg FROM adjx GROUP BY node),
+pairs AS (SELECT x.node AS node_a, y.node AS node_b,
+                 CAST(count(*) AS BIGINT) AS common
+          FROM adjx x JOIN adjx y ON x.peer = y.peer AND x.node < y.node
+          GROUP BY x.node, y.node
+          HAVING count(*) >= 2)
+SELECT p.node_a, p.node_b, p.common,
+       round(CAST(p.common AS DOUBLE) /
+             CAST(da.deg + db.deg - p.common AS DOUBLE), 4) AS jaccard
+FROM pairs p JOIN degx da ON da.node = p.node_a
+             JOIN degx db ON db.node = p.node_b"""
+
+
+def q_graph_bfs(spark, sf_dir):
+    """Bounded-depth BFS (operators/graph.bfs_depths) from user 0 over
+    the co-activity graph: the iterative frontier-expansion dataflow
+    (join + anti-join + distinct per round, localCheckpoint lineage
+    cuts).  Depth <= 3 keeps the unrolled-CTE oracle exact."""
+    from arabicner_spark.operators.graph import bfs_depths
+
+    return bfs_depths(_coactivity_edges(spark, sf_dir), sources=[0], max_depth=3)
+
+
+SQL_GRAPH_BFS = f"""WITH {_SQL_COACT},
+adjx AS (SELECT a AS node, b AS peer FROM cound
+         UNION ALL SELECT b, a FROM cound),
+v0 AS (SELECT CAST(0 AS BIGINT) AS node),
+f1 AS (SELECT DISTINCT j.peer AS node FROM adjx j JOIN v0 ON j.node = v0.node
+       WHERE j.peer NOT IN (SELECT node FROM v0)),
+f2 AS (SELECT DISTINCT j.peer AS node FROM adjx j JOIN f1 ON j.node = f1.node
+       WHERE j.peer NOT IN (SELECT node FROM v0 UNION ALL SELECT node FROM f1)),
+f3 AS (SELECT DISTINCT j.peer AS node FROM adjx j JOIN f2 ON j.node = f2.node
+       WHERE j.peer NOT IN (SELECT node FROM v0 UNION ALL SELECT node FROM f1
+                            UNION ALL SELECT node FROM f2))
+SELECT node, CAST(0 AS INTEGER) AS depth FROM v0
+UNION ALL SELECT node, CAST(1 AS INTEGER) FROM f1
+UNION ALL SELECT node, CAST(2 AS INTEGER) FROM f2
+UNION ALL SELECT node, CAST(3 AS INTEGER) FROM f3"""
+
+
+# -------------------------------------------- TF-IDF / windows / SCD2 / hist
+
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document.  Raw-ratio formulation
+    tfidf = tf * N / df (no log) so the score is ONE integer multiply
+    + ONE IEEE divide — bit-identical across engines (ln() is libm-
+    dependent and can flip a round(,4) at the boundary).  Two map-side-
+    combinable aggregates + a term-vocabulary join + a per-doc rank
+    window (WindowGroupLimit pushdown)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+    )
+
+
+SQL_TEXT_TFIDF = """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+total AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf * total.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, round(score, 4) AS score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3"""
+
+
+def q_rel_moving_avg(spark, sf_dir):
+    """Per-user 10-minute trailing moving aggregate over events: a
+    time-RANGE window frame (RANGE BETWEEN 600s PRECEDING AND CURRENT
+    ROW on epoch micros) — value-based frames are tie-stable, so two
+    events at the same microsecond get identical frames in both
+    engines.  Sums run over integer cents (round(value*100)) so the
+    sliding-frame accumulation order can't produce float drift; the
+    average is derived from the exact integer sum with one divide."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_10m"),
+        F.sum("cents").over(w).cast("bigint").alias("sum_cents"),
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w).cast("double") * F.lit(100.0)),
+            4,
+        ).alias("avg_val"),
+    )
+
+
+SQL_REL_MOVING_AVG = """WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_10m,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents,
+       round(CAST(sum(cents) OVER w AS DOUBLE) /
+             (CAST(count(*) OVER w AS DOUBLE) * 100.0), 4) AS avg_val
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"""
+
+
+_SCD2_OPEN_US = 32503680000000000  # 3000-01-01; NULL-free sentinel (driver
+# comparator cannot sort NULLs next to numbers)
+
+
+def q_rel_scd2(spark, sf_dir):
+    """SCD-2 dimension build (merge/upsert semantics): collapse each
+    customer's order-status history into validity intervals
+    [valid_from, valid_to) with an is_current flag.  Change-point
+    detection is one lag window; interval close is one lead window —
+    both partitioned by the natural key, so the build is a single
+    shuffle on o_custkey at any scale.  Open intervals use a year-3000
+    sentinel instead of NULL (comparator-safe)."""
+    o = load(spark, sf_dir, "orders")
+    # valid_from_us is a monotone injection of o_orderdate, so ordering
+    # by it is the same order the oracle's (o_orderdate, o_orderkey) uses
+    w = Window.partitionBy("o_custkey").orderBy("valid_from_us", "o_orderkey")
+    chg = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("valid_from_us"),
+        )
+        .withColumn("prev", F.lag("status").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("status")))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from_us", "o_orderkey")
+    return chg.select(
+        "o_custkey",
+        "status",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w2), F.lit(_SCD2_OPEN_US)
+        ).alias("valid_to_us"),
+    ).withColumn(
+        "is_current",
+        (F.col("valid_to_us") == _SCD2_OPEN_US).cast("int"),
+    )
+
+
+SQL_REL_SCD2 = f"""WITH chg AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+         epoch_us(o_orderdate) AS valid_from_us,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+  QUALIFY prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, status, valid_from_us,
+       coalesce(lead(valid_from_us) OVER (PARTITION BY o_custkey
+                                          ORDER BY valid_from_us, o_orderkey),
+                {_SCD2_OPEN_US}) AS valid_to_us,
+       CAST(coalesce(lead(valid_from_us) OVER (PARTITION BY o_custkey
+                                               ORDER BY valid_from_us, o_orderkey),
+                     {_SCD2_OPEN_US}) = {_SCD2_OPEN_US} AS INTEGER) AS is_current
+FROM chg"""
+
+
+def q_sketch_hist_quantile(spark, sf_dir):
+    """Mergeable histogram-quantile sketch over order totals: fixed
+    $5000-wide buckets -> ONE map-side-combinable groupBy over the fact
+    table; quantile extraction (p50/p90/p99 = lower bound of the first
+    bucket whose cumulative count reaches ceil(q*N)) runs on the
+    bucket-vocabulary-sized state (the unpartitioned cumulative window
+    is over ~10^2 rows, not data rows).  The at-scale counterpart of
+    rel_value_quantiles' exact percentile: one pass, mergeable partials,
+    bounded error = bucket width."""
+    o = load(spark, sf_dir, "orders")
+    hist = o.groupBy(
+        F.expr("CAST(floor(o_totalprice / 5000.0) AS INTEGER)").alias("bucket")
+    ).agg(F.count("*").alias("n_bucket"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n_bucket").over(wcum))
+    total = o.agg(F.count("*").alias("n_total"))
+    qs = o.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    cand = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy("q", "n_total")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return cand.select(
+        "q",
+        "bucket",
+        (F.col("bucket") * F.lit(5000.0)).alias("est_lo"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    )
+
+
+SQL_SKETCH_HIST_QUANTILE = """WITH hist AS (
+  SELECT CAST(floor(o_totalprice / 5000.0) AS INTEGER) AS bucket,
+         count(*) AS n_bucket
+  FROM orders GROUP BY 1
+),
+cum AS (SELECT bucket, sum(n_bucket) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+total AS (SELECT count(*) AS n_total FROM orders),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+SELECT qs.q, min(cum.bucket) AS bucket,
+       CAST(min(cum.bucket) * 5000.0 AS DOUBLE) AS est_lo,
+       CAST(total.n_total AS BIGINT) AS n_total
+FROM cum CROSS JOIN qs CROSS JOIN total
+WHERE cum.cum >= ceil(qs.q * total.n_total)
+GROUP BY qs.q, total.n_total"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
@@ -2593,6 +2926,13 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
+    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "rel_moving_avg": (q_rel_moving_avg, SQL_REL_MOVING_AVG),
+    "rel_scd2": (q_rel_scd2, SQL_REL_SCD2),
+    "sketch_hist_quantile": (q_sketch_hist_quantile, SQL_SKETCH_HIST_QUANTILE),
     "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
     "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),

@@ -44,3 +44,99 @@ def test_pagerank_multi_edges_collapse(spark):
     )
     pr = {r.node: r.rank for r in pagerank(spark_edges, iterations=1).collect()}
     assert pr["C"] == pytest.approx(0.475)
+
+
+# ---------------------------------------------------------------- triangles
+# Fixture: A-B, B-C, C-A (one triangle), C-D, D-E (a tail).
+UND = [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D"), ("D", "E")]
+
+
+def test_triangle_count_hand_fixture(spark):
+    from arabicner_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(UND, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {"A": 1, "B": 1, "C": 1}  # D, E in no triangle -> absent
+
+
+def test_triangle_count_normalizes_direction_and_dupes(spark):
+    """Reversed and duplicated edge rows collapse to one undirected edge."""
+    from arabicner_spark.operators.graph import triangle_count
+
+    noisy = UND + [(b, a) for a, b in UND] + UND
+    edges = spark.createDataFrame(noisy, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {"A": 1, "B": 1, "C": 1}
+
+
+def test_triangle_count_k4_counts_each_corner(spark):
+    """K4: 4 triangles total, every node in exactly 3."""
+    from itertools import combinations
+
+    from arabicner_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        list(combinations("WXYZ", 2)), "src string, dst string"
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {"W": 3, "X": 3, "Y": 3, "Z": 3}
+
+
+def test_triangle_plan_has_no_cartesian_product(spark):
+    from arabicner_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(UND, "src string, dst string")
+    plan = triangle_count(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------------ jaccard
+def test_neighbor_jaccard_hand_fixture(spark):
+    from arabicner_spark.operators.graph import neighbor_jaccard
+
+    # N(A)={B,C} N(B)={A,C} N(C)={A,B,D} N(D)={C,E} N(E)={D}
+    edges = spark.createDataFrame(UND, "src string, dst string")
+    got = {
+        (r.node_a, r.node_b): (r.common, r.jaccard)
+        for r in neighbor_jaccard(edges, min_common=1).collect()
+    }
+    assert got[("A", "B")] == (1, round(1 / 3, 4))  # common {C}, union {A,B,C}
+    assert got[("A", "C")] == (1, 0.25)             # common {B}, union size 4
+    assert got[("B", "C")] == (1, 0.25)
+    assert got[("A", "D")] == (1, round(1 / 3, 4))  # common {C}
+    assert got[("C", "E")] == (1, round(1 / 3, 4))  # common {D}
+    assert ("D", "E") not in got                    # no shared neighbor
+    assert ("A", "E") not in got
+
+
+def test_neighbor_jaccard_min_common_filters(spark):
+    from arabicner_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(UND, "src string, dst string")
+    assert neighbor_jaccard(edges, min_common=2).count() == 0  # max common is 1
+
+
+# ---------------------------------------------------------------------- bfs
+def test_bfs_depths_hand_fixture(spark):
+    from arabicner_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(UND, "src string, dst string")
+    got = {r.node: r.depth for r in bfs_depths(edges, ["A"], max_depth=2).collect()}
+    assert got == {"A": 0, "B": 1, "C": 1, "D": 2}  # E is 3 hops away
+
+
+def test_bfs_isolated_seed_is_depth_zero(spark):
+    from arabicner_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(UND, "src string, dst string")
+    got = {r.node: r.depth for r in bfs_depths(edges, ["Z"], max_depth=3).collect()}
+    assert got == {"Z": 0}  # early-break on empty frontier
+
+
+def test_bfs_multi_source_takes_min_depth(spark):
+    from arabicner_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(UND, "src string, dst string")
+    got = {r.node: r.depth for r in bfs_depths(edges, ["A", "E"], max_depth=3).collect()}
+    assert got == {"A": 0, "E": 0, "B": 1, "C": 1, "D": 1}
