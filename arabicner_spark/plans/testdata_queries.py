@@ -2871,6 +2871,141 @@ WHERE cum.cum >= ceil(qs.q * total.n_total)
 GROUP BY qs.q, total.n_total"""
 
 
+# ------------------------------------- semi-structured / pivot / fuzzy link
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull the integer payload out of the
+    events JSON props column, then one rollup per event_type over it.
+    get_json_object is JVM-side codegen (no UDF); at scale this is scan
+    + one map-side-combinable aggregate, and the JSON path never leaves
+    the executor."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS n_distinct_k
+FROM events GROUP BY event_type"""
+
+
+def q_rel_pivot(spark, sf_dir):
+    """Pivot: order counts and total value per priority, one column per
+    order status — the real DataFrame .pivot() API with an EXPLICIT
+    value list (never the two-pass value-discovery form, which scans
+    the fact table twice at scale).  Plans as one hash aggregate with
+    conditional expressions — exactly the FILTER-clause oracle."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").cast("bigint").alias("n_f"),
+        F.col("O").cast("bigint").alias("n_o"),
+        F.col("P").cast("bigint").alias("n_p"),
+    )
+
+
+SQL_REL_PIVOT = """SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority"""
+
+
+def q_rel_unpivot(spark, sf_dir):
+    """Unpivot (melt): the pivoted per-priority status counts stacked
+    back to long form via the DataFrame .unpivot() API — wide->long is
+    a per-row expression expansion (Expand node), no shuffle beyond the
+    pivot's own aggregate."""
+    wide = q_rel_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_f", "n_o", "n_p"], "status_col", "n"
+    ).select(
+        "o_orderpriority",
+        "status_col",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_REL_UNPIVOT = f"""WITH wide AS ({SQL_REL_PIVOT})
+SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide
+UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM wide
+UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM wide"""
+
+
+def q_rel_rank_funcs(spark, sf_dir):
+    """Ranking-window family in one pass: ntile, percent_rank and
+    cume_dist per order within its priority class (orderkey tie-break
+    makes every rank deterministic).  percent_rank/cume_dist are exact
+    integer ratios evaluated with one IEEE divide — portable."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+SQL_REL_RANK_FUNCS = """SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)"""
+
+
+def q_link_fuzzy(spark, sf_dir):
+    """Fuzzy entity linking: edit-distance <= 1 match of corpus tokens
+    against the alias dictionary (typo-tolerant complement of the exact
+    salted-hash linker in operators/linking.py).  The quadratic term is
+    DISTINCT-TOKEN-VOCAB x dictionary — never corpus x dictionary: the
+    distinct() collapses the 100-TB fact side to its vocabulary before
+    the bounded broadcast, the same scan-reduction that makes ann_topk's
+    broadcast acceptable.  levenshtein() is JVM codegen on both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    alias = alias_df_td(spark).select("alias", "entity_id")
+    return (
+        toks.crossJoin(F.broadcast(alias))
+        .withColumn("dist", F.levenshtein("token", "alias").cast("int"))
+        .where(F.col("dist") <= 1)
+        .select("token", "alias", "entity_id", "dist")
+    )
+
+
+SQL_LINK_FUZZY = f"""WITH {_SQL_ALIAS},
+toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT t.token, a.alias, a.entity_id,
+       CAST(levenshtein(t.token, a.alias) AS INTEGER) AS dist
+FROM toks t JOIN alias_raw a ON levenshtein(t.token, a.alias) <= 1"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
@@ -2926,6 +3061,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
+    "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
+    "rel_rank_funcs": (q_rel_rank_funcs, SQL_REL_RANK_FUNCS),
+    "link_fuzzy": (q_link_fuzzy, SQL_LINK_FUZZY),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
     "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
