@@ -3006,6 +3006,160 @@ SELECT t.token, a.alias, a.entity_id,
 FROM toks t JOIN alias_raw a ON levenshtein(t.token, a.alias) <= 1"""
 
 
+# --------------------------------------- behavioral analytics / data quality
+
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel analysis: per user, how far through
+    view -> click -> purchase they progressed, with strict time order
+    and first-qualifying-event semantics (step k counts only events
+    AFTER the user's step-(k-1) time).  Three per-user min-aggregates
+    chained by inner joins — every stage is keyed on user_id, so the
+    whole funnel is ONE shuffle key end-to-end (co-partitioned joins,
+    no re-shuffle between stages at scale)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    return (
+        users.join(s1.select("user_id", F.lit(1).alias("r1")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("r2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("r3")), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.coalesce("r1", F.lit(0))
+                + F.coalesce("r2", F.lit(0))
+                + F.coalesce("r3", F.lit(0))
+            ).cast("int").alias("stage"),
+        )
+    )
+
+
+SQL_FUNNEL = """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST((CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS INTEGER) AS stage
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort-retention matrix: users grouped by first-activity day,
+    counted on each of the next 7 days they return.  Two aggregates +
+    one join, all keyed on user_id then (cohort_day, offset) — day
+    arithmetic is pure integer epoch-day math, no calendar functions to
+    disagree on."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("day"),
+    ).distinct()
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .withColumn("day_offset", (F.col("day") - F.col("cohort_day")).cast("int"))
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT f.cohort_day, CAST(a.day - f.cohort_day AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+WHERE a.day - f.cohort_day <= 7
+GROUP BY f.cohort_day, day_offset"""
+
+
+def q_stats_outliers(spark, sf_dir):
+    """Z-score outlier detection per event_type with EXACT integer
+    moments: sum and sum-of-squares accumulate over integer cents
+    (BIGINT — order-independent, unlike float sums), and mean/variance
+    are derived with one fixed expression tree of IEEE ops so both
+    engines compute bit-identical z-scores.  One map-side-combinable
+    moments aggregate (type-vocabulary-sized state, the mergeable-
+    sketch property) + one broadcast join back to the facts.  At
+    1e12-row scale sumsq needs DECIMAL(38) headroom — documented here;
+    BIGINT is exact through ~1e5x the largest testdata sf."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double")
+    ) / F.col("n").cast("double")
+    stats = m.select("event_type", mean.alias("mu"), F.sqrt(var).alias("sigma"))
+    z = (F.col("cents").cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .where(F.abs(F.col("z")) >= 1.5)
+        .select("event_id", "event_type", "cents", "z")
+    )
+
+
+SQL_STATS_OUTLIERS = """WITH e AS (
+  SELECT event_id, event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+m AS (SELECT event_type, count(*) AS n, sum(cents) AS s, sum(cents * cents) AS sq
+      FROM e GROUP BY event_type),
+stats AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt((CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)) AS sigma
+  FROM m
+)
+SELECT e.event_id, e.event_type, e.cents,
+       round((CAST(e.cents AS DOUBLE) - st.mu) / st.sigma, 4) AS z
+FROM e JOIN stats st USING (event_type)
+WHERE abs(round((CAST(e.cents AS DOUBLE) - st.mu) / st.sigma, 4)) >= 1.5"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
@@ -3061,6 +3215,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
