@@ -110,7 +110,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     from exploding the shuffle at scale.  Three joins + one aggregate;
     no CartesianProduct anywhere (plan-pinned in tests).
     """
-    und = undirected_edges(edges, src, dst)
+    # und feeds deg AND the orientation join; oriented feeds the wedge
+    # self-join twice plus the closure join.  DataFrame DAGs have no
+    # common-subexpression reuse, so without materialization the
+    # upstream build (a self-join over the raw edges) would replay once
+    # per reference — localCheckpoint makes each diamond input compute
+    # exactly once (the pagerank pattern).
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -127,7 +133,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)  # referenced 3x (two wedge arms + closure)
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
     )
@@ -160,9 +166,12 @@ def neighbor_jaccard(
     join.  Single IEEE divide per row — deterministic across engines.
     """
     und = undirected_edges(edges, src, dst)
+    # adj feeds the degree agg and BOTH self-join arms — materialize so
+    # the undirected-edge build (often itself a self-join upstream) runs
+    # once, not once per reference.
     adj = und.select(F.col("a").alias("node"), F.col("b").alias("peer")).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("peer"))
-    )
+    ).localCheckpoint(eager=True)
     deg = adj.groupBy("node").agg(F.count("*").alias("deg"))  # adj is distinct
     x = adj.select(F.col("node").alias("node_a"), "peer")
     y = adj.select(F.col("node").alias("node_b"), "peer")
