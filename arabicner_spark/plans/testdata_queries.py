@@ -3160,6 +3160,58 @@ FROM e JOIN stats st USING (event_type)
 WHERE abs(round((CAST(e.cents AS DOUBLE) - st.mu) / st.sigma, 4)) >= 1.5"""
 
 
+def q_rel_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window (dynamic-gap session aggregation —
+    the streaming-capable built-in) vs a manual lag+cumulative-sum gap
+    sessionization oracle.  Pins the built-in's exact merge rule:
+    sessions merge when the next event is <= gap after the previous
+    (touching intervals merge; a new session starts only when the gap
+    is STRICTLY exceeded), session end = last event + gap.  One shuffle
+    on user_id; state is per-(user, session).  The rel_event_sessions
+    query keeps the manual composition; this one proves the built-in
+    matches it."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    out = e.groupBy("user_id", F.session_window("ts", "300 seconds")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("end_us"),
+        "n_events",
+        "sum_cents",
+    )
+
+
+SQL_REL_SESSION_WINDOW = """WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts_us, cents,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   > 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts_us, cents,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 300000000 AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM sess GROUP BY user_id, sid"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
@@ -3215,6 +3267,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
+    "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
