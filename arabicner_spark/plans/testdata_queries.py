@@ -3160,6 +3160,59 @@ FROM e JOIN stats st USING (event_type)
 WHERE abs(round((CAST(e.cents AS DOUBLE) - st.mu) / st.sigma, 4)) >= 1.5"""
 
 
+def q_stream_sessions(spark, sf_dir):
+    """STREAMING session windows, oracle-gated: events -> readStream ->
+    user_session_aggregates (watermarked native session_window under
+    the streaming state store) -> availableNow update-mode memory sink.
+    The source is ONE file, so the drain is a single micro-batch: all
+    session merging happens inside it and every final session is
+    emitted exactly once — which must equal the batch gap-
+    sessionization oracle (the SAME SQL that gates rel_session_window,
+    proving batch session_window, streaming session_window, and the
+    manual lag+cumsum composition all agree)."""
+    import tempfile
+    import uuid
+
+    from arabicner_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="arabicner_stream_sess_src_")
+    (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, cents bigint")
+        .parquet(src)
+    )
+    sessions = ingest.user_session_aggregates(stream)
+    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")  # session windows forbid update mode
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_sess_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "sum_cents",
+    )
+
+
 def q_rel_session_window(spark, sf_dir):
     """Spark's NATIVE session_window (dynamic-gap session aggregation —
     the streaming-capable built-in) vs a manual lag+cumulative-sum gap
@@ -3210,6 +3263,17 @@ SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 300000000 AS end_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM sess GROUP BY user_id, sid"""
+
+
+# Append-mode session windows emit only sessions FINALIZED by the
+# final watermark (max event ts - the 10-minute delay); the session
+# containing the stream's last events is still open when the source
+# drains, so the oracle applies the same finalization cut.  (No end_us
+# ever ties the watermark exactly in the fixed testdata — the cut is
+# unambiguous at every sf; the gate would catch a tie as a MISMATCH.)
+SQL_STREAM_SESSIONS = f"""WITH sessions AS ({SQL_REL_SESSION_WINDOW})
+SELECT * FROM sessions
+WHERE end_us <= (SELECT max(epoch_us(ts)) FROM events) - 600000000"""
 
 
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3268,6 +3332,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
     "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),

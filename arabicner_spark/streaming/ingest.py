@@ -83,6 +83,33 @@ def streaming_conv_totals(mentions_stream: DataFrame) -> DataFrame:
     )
 
 
+def user_session_aggregates(
+    events_stream: DataFrame, gap: str = "300 seconds"
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation per user: Spark's native
+    dynamic-gap session windows under the streaming state store (the
+    sessionization physical operator differs from batch — this is the
+    streaming-engine counterpart of the batch rel_session_window
+    query).  Sessions merge while consecutive events are <= gap apart;
+    watermark (10 min) bounds how long an open session's state waits
+    for late events before it can be finalized."""
+    return (
+        events_stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("session_window"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
 def mention_rate(mentions_stream: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked windowed mention counts per type (late data: 2 min)."""
     return (
