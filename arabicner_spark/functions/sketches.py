@@ -55,3 +55,38 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.col("h").alias("kth_hash"),
         F.round((k - 1) / _frac(F.col("h")), 4).alias("estimate"),
     )
+
+
+def kmv_distinct_by(df: DataFrame, group: str, col: str, k: int = 64) -> DataFrame:
+    """Per-group KMV: -> (group, n_kept, kth_hash, estimate) — the
+    distinct-count estimate of ``col`` within each ``group``.
+
+    The sketch becomes a per-group AGGREGATE: the rank window under a
+    ``rank <= k`` filter plans as WindowGroupLimit, Spark's map-side
+    per-group top-k pushdown, so the state crossing the shuffle is at
+    most k hashes per (partition, group) — the mergeability property
+    that makes the sketch a 100-TB aggregate.  Groups with fewer than k
+    distinct values fall back to the EXACT count (the standard KMV
+    small-set rule: the sketch holds the whole set, so report its
+    size).
+    """
+    from pyspark.sql.window import Window
+
+    hashes = df.select(
+        F.col(group).alias("grp"),
+        F.md5(F.encode(F.col(col).cast("string"), "utf-8")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = hashes.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    agg = kept.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    return agg.select(
+        F.col("grp").alias(group),
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.round((k - 1) / _frac(F.col("kth_hash")), 4))
+        .alias("estimate"),
+    )

@@ -3276,6 +3276,122 @@ SELECT * FROM sessions
 WHERE end_us <= (SELECT max(epoch_us(ts)) FROM events) - 600000000"""
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog apply (MERGE INTO semantics without an Iceberg
+    runtime): base = customer; a deterministic changelog derived from
+    orders (op per order: sparse deletes on every 97th final order,
+    else an upsert of the account balance; seq = orderkey).  Latest-op-
+    per-key wins (one rank window on the natural key), deletes drop the
+    row, upserts overwrite, unseen keys insert (full outer join).  At
+    scale this is one shuffle on the merge key for the window + one
+    co-partitioned join — the standard compaction shape for applying a
+    day's changelog to a snapshot."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("base_cents"),
+    )
+    log = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 97 == 0), "D"
+        ).otherwise("U").alias("op"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("new_cents"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    merged = c.join(latest, "c_custkey", "full_outer")
+    return (
+        merged.where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.coalesce("c_name", F.lit("cdc_insert")).alias("name"),
+            F.coalesce("new_cents", "base_cents").alias("bal_cents"),
+            F.when(F.col("op").isNull(), "base").otherwise("cdc").alias("src"),
+        )
+    )
+
+
+SQL_CDC_APPLY = """WITH c AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS base_cents
+  FROM customer
+),
+log AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 97 = 0 THEN 'D'
+              ELSE 'U' END AS op,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS new_cents
+  FROM orders
+),
+latest AS (
+  SELECT c_custkey, op, new_cents,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+  FROM log QUALIFY rn = 1
+)
+SELECT coalesce(c.c_custkey, l.c_custkey) AS c_custkey,
+       coalesce(c.c_name, 'cdc_insert') AS name,
+       coalesce(l.new_cents, c.base_cents) AS bal_cents,
+       CASE WHEN l.op IS NULL THEN 'base' ELSE 'cdc' END AS src
+FROM c FULL JOIN latest l ON c.c_custkey = l.c_custkey
+WHERE l.op IS NULL OR l.op <> 'D'"""
+
+
+def q_sketch_kmv_by_flag(spark, sf_dir):
+    """Per-group KMV sketch (functions/sketches.kmv_distinct_by):
+    distinct-l_orderkey estimate per lineitem return flag.  The rank
+    window under rank<=k plans WindowGroupLimit (map-side per-group
+    top-k), so sketch state is <= k hashes per group per partition —
+    the mergeable-aggregate form of sketch_kmv_distinct's global
+    sketch.  Small groups fall back to the exact count (standard KMV
+    rule), and the estimate value-hashes against DuckDB bit-for-bit."""
+    from arabicner_spark.functions.sketches import kmv_distinct_by
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = kmv_distinct_by(li, "l_returnflag", "l_orderkey", k=KMV_K)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_n")
+    )
+    return sk.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_kept",
+        "kth_hash",
+        "estimate",
+        "exact_n",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_n")) / F.col("exact_n"), 4
+        ).alias("rel_err"),
+    )
+
+
+SQL_SKETCH_KMV_BY_FLAG = f"""WITH h AS (
+  SELECT DISTINCT l_returnflag AS grp, md5(CAST(l_orderkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+kept AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
+  FROM h QUALIFY rnk <= {KMV_K}
+),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+        FROM kept GROUP BY grp),
+est AS (
+  SELECT grp, n_kept, kth_hash,
+         CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+              ELSE round(({KMV_K} - 1) /
+                   ((CAST(('0x' || substr(kth_hash, 1, 15)) AS UBIGINT)::DOUBLE + 1)
+                    / {float(16 ** 15)}), 4) END AS estimate
+  FROM agg
+),
+ex AS (SELECT l_returnflag AS grp, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_n
+       FROM lineitem GROUP BY l_returnflag)
+SELECT est.grp AS l_returnflag, est.n_kept, est.kth_hash, est.estimate, ex.exact_n,
+       round(abs(est.estimate - ex.exact_n) / ex.exact_n, 4) AS rel_err
+FROM est JOIN ex ON est.grp = ex.grp"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
@@ -3336,6 +3452,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "sketch_kmv_by_flag": (q_sketch_kmv_by_flag, SQL_SKETCH_KMV_BY_FLAG),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
