@@ -3286,10 +3286,12 @@ def q_cdc_apply(spark, sf_dir):
     scale this is one shuffle on the merge key for the window + one
     co-partitioned join — the standard compaction shape for applying a
     day's changelog to a snapshot."""
-    c = load(spark, sf_dir, "customer").select(
+    from arabicner_spark.operators.cdc import apply_changelog
+
+    base = load(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
-        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("base_cents"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("bal_cents"),
     )
     log = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
@@ -3297,21 +3299,14 @@ def q_cdc_apply(spark, sf_dir):
         F.when(
             (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 97 == 0), "D"
         ).otherwise("U").alias("op"),
-        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("new_cents"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("bal_cents"),
     )
-    w = Window.partitionBy("c_custkey").orderBy(F.col("seq").desc())
-    latest = (
-        log.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
-    )
-    merged = c.join(latest, "c_custkey", "full_outer")
-    return (
-        merged.where(F.col("op").isNull() | (F.col("op") != "D"))
-        .select(
-            "c_custkey",
-            F.coalesce("c_name", F.lit("cdc_insert")).alias("name"),
-            F.coalesce("new_cents", "base_cents").alias("bal_cents"),
-            F.when(F.col("op").isNull(), "base").otherwise("cdc").alias("src"),
-        )
+    merged = apply_changelog(base, log, "c_custkey", payload=["bal_cents"])
+    return merged.select(
+        "c_custkey",
+        F.coalesce("c_name", F.lit("cdc_insert")).alias("name"),
+        "bal_cents",
+        "src",
     )
 
 
