@@ -153,6 +153,66 @@ def ivf_cells_leg(spark, sf_dir: str) -> dict:
     }
 
 
+def coactivity_hot_minute_leg(spark, sf_dir: str) -> dict:
+    """Planted-hot-minute posture for the co-occurrence graph build
+    (graph_triangles/jaccard/bfs input): ~25% of events moved into ONE
+    (event_type, minute) bucket, then the real distinct + bucket
+    self-join runs.  Reports bucket occupancy max/median (the inherent
+    quadratic fan-out driver: d users in a bucket emit d(d-1)/2 pairs —
+    a property of co-occurrence graphs, not of the plan), the shuffle-
+    partition max/median under the exact Murmur3 layout (what AQE's
+    skew split sees), and pairs + wall for the hot build."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hot = F.col("event_id") % 4 == 0
+    b = (
+        e.select(
+            "user_id",
+            F.when(hot, F.lit("view")).otherwise(F.col("event_type")).alias("event_type"),
+            F.when(hot, F.lit(0)).otherwise(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000")
+            ).cast("bigint").alias("minute"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    occ = b.groupBy("event_type", "minute").count()
+    o = occ.agg(
+        F.max("count").alias("mx"), F.median("count").alias("md")
+    ).first()
+    part = (
+        b.groupBy(
+            F.pmod(F.hash("event_type", "minute"), F.lit(shuffle_parts)).alias("p")
+        )
+        .count()
+        .agg(F.max("count").alias("mx"), F.median("count").alias("md"))
+        .first()
+    )
+    t0 = _t.time()
+    x = b.select(F.col("user_id").alias("ua"), "event_type", "minute")
+    y = b.select(F.col("user_id").alias("ub"), "event_type", "minute")
+    pairs = (
+        x.join(y, ["event_type", "minute"])
+        .where(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .count()
+    )
+    wall = round(_t.time() - t0, 3)
+    return {
+        "hot_event_share": 0.25,
+        "bucket_occupancy_max": int(o.mx),
+        "bucket_occupancy_max_over_median": round(float(o.mx) / float(o.md), 2),
+        "join_partition_max_over_median": round(float(part.mx) / float(part.md), 2),
+        "distinct_pairs": int(pairs),
+        "wall_sec": wall,
+    }
+
+
 def aqe_artifact_leg(spark, sf_dir: str, repeats: int) -> dict:
     """kg_edges with AQE post-shuffle coalescing disabled — the control
     from the r3 regression attribution (PLANS.md "kg_edges r1→r2
@@ -225,6 +285,7 @@ def main() -> None:
     )
     skew = skew_leg(spark, sf_dir, cpus)
     ivf = ivf_cells_leg(spark, sf_dir)
+    coact = coactivity_hot_minute_leg(spark, sf_dir)
     aqe = aqe_artifact_leg(spark, sf_dir, repeats)
     print(
         json.dumps(
@@ -241,6 +302,7 @@ def main() -> None:
                 "kg_edges_triples_per_sec": triples_per_sec,
                 "skew_hot_conv": skew,
                 "ivf_cells": ivf,
+                "coactivity_hot_minute": coact,
                 "aqe_coalesce_artifact": aqe,
             }
         )

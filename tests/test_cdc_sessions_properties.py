@@ -109,3 +109,70 @@ def test_session_window_matches_gap_scan(spark, rows):
                 cur = [t]
         want.append((u, cur[0], cur[-1] + gap, len(cur)))
     assert got == sorted(want), (rows, got, sorted(want))
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, 3]),
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(0, 30),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=funnel_events)
+def test_funnel_stage_matches_linear_replay(spark, rows):
+    """q_funnel's strict-order first-qualifying semantics vs a linear
+    replay: stage k is reached iff some step-k event is STRICTLY after
+    the FIRST qualifying step-(k-1) event.  Random data covers the
+    shapes the fixed testdata can't: same-timestamp steps (no
+    progress), purchases before views, missing middle steps."""
+    from datetime import datetime, timezone
+
+    from arabicner_spark.plans.testdata_queries import q_funnel
+
+    def _ts(t):
+        return datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None)
+
+    df = spark.createDataFrame(
+        [(i, u, et, _ts(t)) for i, (u, et, t) in enumerate(rows)]
+        or [(0, 99, "error", _ts(0))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+    # route q_funnel's load() at our in-memory frame
+    import arabicner_spark.plans.testdata_queries as tq
+
+    orig = tq.load
+    tq.load = lambda spark, sf_dir, name: df
+    try:
+        got = {r.user_id: r.stage for r in q_funnel(spark, "ignored").collect()}
+    finally:
+        tq.load = orig
+
+    def replay(evts):
+        def first_after(kind, after):
+            cands = [t for et, t in evts if et == kind and (after is None or t > after)]
+            return min(cands) if cands else None
+
+        t1 = first_after("view", None)
+        if t1 is None:
+            return 0
+        t2 = first_after("click", t1)
+        if t2 is None:
+            return 1
+        t3 = first_after("purchase", t2)
+        return 2 if t3 is None else 3
+
+    by_user = {}
+    data = rows or [(99, "error", 0)]
+    for u, et, t in data:
+        by_user.setdefault(u, []).append((et, t))
+    want = {u: replay(evts) for u, evts in by_user.items()}
+    assert got == want, (rows, got, want)
