@@ -3276,6 +3276,71 @@ SELECT * FROM sessions
 WHERE end_us <= (SELECT max(epoch_us(ts)) FROM events) - 600000000"""
 
 
+def q_rel_gap_fill(spark, sf_dir):
+    """Time-series gap filling with forward fill (LOCF): a dense
+    per-user hourly grid over the first 72 hours (sequence + explode —
+    grid generation is an expression, no driver loop), left-joined with
+    observed hourly totals, missing hours forward-filled from the last
+    observation (last(..., ignorenulls) over a running frame — the
+    hypertable-family completion of rel_hypertable_daily).  Hours
+    before a user's first observation stay at the -1 sentinel (the
+    driver comparator cannot sort NULLs next to numbers).  One shuffle
+    on user_id; the grid is users x 72 rows, never data-sized."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hour"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    h0 = e.agg(F.min("hour").alias("h0"))
+    obs = e.groupBy("user_id", "hour").agg(F.sum("cents").alias("hour_cents"))
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(h0))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h0 + 71)")).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select("user_id", "hour", F.col("hour_cents").alias("hc"))
+        .withColumn("filled_cents", F.coalesce(F.last("hc", ignorenulls=True).over(w), F.lit(-1)))
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("hc", F.lit(-1)).alias("observed_cents"),
+            "filled_cents",
+        )
+    )
+
+
+SQL_REL_GAP_FILL = """WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+h0 AS (SELECT min(hour) AS h0 FROM e),
+obs AS (SELECT user_id, hour, sum(cents) AS hour_cents
+        FROM e GROUP BY user_id, hour),
+grid AS (
+  SELECT u.user_id, g.hour
+  FROM (SELECT DISTINCT user_id FROM e) u
+  CROSS JOIN (SELECT unnest(generate_series(h0, h0 + 71)) AS hour FROM h0) g
+)
+SELECT grid.user_id, grid.hour,
+       coalesce(obs.hour_cents, -1) AS observed_cents,
+       coalesce(last_value(obs.hour_cents IGNORE NULLS)
+                  OVER (PARTITION BY grid.user_id ORDER BY grid.hour
+                        ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
+FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.hour = obs.hour"""
+
+
 def q_cdc_apply(spark, sf_dir):
     """CDC changelog apply (MERGE INTO semantics without an Iceberg
     runtime): base = customer; a deterministic changelog derived from
@@ -3447,6 +3512,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
+    "rel_gap_fill": (q_rel_gap_fill, SQL_REL_GAP_FILL),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "sketch_kmv_by_flag": (q_sketch_kmv_by_flag, SQL_SKETCH_KMV_BY_FLAG),
     "json_props": (q_json_props, SQL_JSON_PROPS),
