@@ -620,8 +620,12 @@ def q_kg_components(spark, sf_dir):
         F.col("doc_id").cast("string").alias("id"), "text"
     )
     reps, star = _exact_group_reps(d)
-    sh = hashing.word_shingles(reps, ["id"], "text", n=3)
-    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    sh = hashing.word_shingles(
+        reps, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+    )
+    sig = hashing.minhash_signatures(
+        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+    )
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
@@ -796,8 +800,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
     )
-    sh = hashing.word_shingles(d, ["id"], "text", n=3)
-    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    sh = hashing.word_shingles(
+        d, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+    )
+    sig = hashing.minhash_signatures(
+        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+    )
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
@@ -819,8 +827,12 @@ def q_dedup_jaccard(spark, sf_dir):
     )
     # reused by signatures, both sides of the intersection join, and
     # sizes -> materialize once
-    sh = hashing.word_shingles(d, ["id"], "text", n=3).localCheckpoint(eager=True)
-    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    sh = hashing.word_shingles(
+        d, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
+    sig = hashing.minhash_signatures(
+        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+    )
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
@@ -1276,7 +1288,9 @@ def q_text_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.col("text")
     )
-    sh = hashing.word_shingles(d, ["doc_id"], "text", n=3)
+    sh = hashing.word_shingles(
+        d, ["doc_id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+    )
     return sh.groupBy("doc_id").agg(
         F.min(hashing.seeded_md5(F.col("shingle"), 99)).alias("fingerprint")
     )
@@ -1474,8 +1488,12 @@ def q_dedup_survivors(spark, sf_dir):
     # exact groups give both the star edges AND the LSH input (reps
     # only — see _exact_group_reps for why this is output-identical)
     reps, exact = _exact_group_reps(d)
-    sh = hashing.word_shingles(reps, ["id"], "text", n=3)
-    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
+    sh = hashing.word_shingles(
+        reps, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+    )
+    sig = hashing.minhash_signatures(
+        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+    )
     near = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
