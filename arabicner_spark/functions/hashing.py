@@ -134,7 +134,10 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str, materialize: bool = True
+    bands_df: DataFrame,
+    id_col: str,
+    materialize: bool = True,
+    width: int | None = None,
 ) -> DataFrame:
     """Self-join on (band, sig): distinct (a, b) with a < b.
 
@@ -145,9 +148,18 @@ def lsh_candidate_pairs(
     reference the same upstream (shingle -> minhash) pipeline, and
     without materialization Spark executes it twice (exchange reuse
     dies as soon as AQE broadcasts one side).
+
+    ``width``: explicit partition count for the pair join + distinct.
+    The band table is BYTES-small (AQE coalesces its exchange to ~1
+    partition) but the join OUTPUT is quadratic per bucket — at a
+    low-selectivity threshold millions of pairs emerge from a few MB of
+    bands, all on one thread.  Same starvation mode as the shingle
+    stage (PLANS.md): pin the width when candidates >> bands.
     """
     if materialize:
         bands_df = bands_df.localCheckpoint(eager=True)
+    if width:
+        bands_df = bands_df.repartition(width, F.col("band"), F.col("sig"))
     a = bands_df.select(F.col(id_col).alias("a"), "band", "sig")
     b = bands_df.select(F.col(id_col).alias("b"), "band", "sig")
     return (

@@ -923,10 +923,16 @@ def q_dedup_embedding(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    width = spark.sparkContext.defaultParallelism
     bands = hashing.sign_lsh_bands(
         e, "vec_id", "v", bits_per_band=EMB_LSH_BITS, n_bands=EMB_LSH_BANDS
     )
-    pairs = hashing.lsh_candidate_pairs(bands, "vec_id")
+    # candidates >> bands at this LSH-hostile threshold (~75% of all
+    # pairs survive blocking) — pin the pair-join width, and spread the
+    # pair table before the vector-verify joins for the same reason
+    pairs = hashing.lsh_candidate_pairs(bands, "vec_id", width=width).repartition(
+        width, F.col("a")
+    )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, v: acc + v * v))
     en = e.withColumn("nrm", norm)
     a = en.select(
