@@ -46,6 +46,7 @@ def extract_triples(
     mentions: DataFrame,
     predicates: List[Tuple[str, str, str]] = DEFAULT_PREDICATES,
     window: int = DEFAULT_WINDOW,
+    width: int | None = None,
 ) -> DataFrame:
     """mentions -> triples (schemas.TRIPLES).
 
@@ -57,6 +58,13 @@ def extract_triples(
     table that is unbounded at production scale.  Mentions-per-turn is
     bounded by turn length, so per-row pair fan-out is bounded and the
     type-pair + gap filters run INSIDE the array before explode.
+
+    ``width``: explicit partition count for the per-turn aggregate.
+    The mentions frame is bytes-small when the corpus is, and AQE's
+    byte-based post-shuffle coalescing then folds the groupBy exchange
+    to 1-2 partitions — serializing the compute-heavy pair-combinatorics
+    explode (PLANS.md: compute-bound stages starved by byte coalescing).
+    At production scale the exchange is wide anyway and this is a no-op.
     """
     spark = mentions.sparkSession
     pred_df = spark.createDataFrame(
@@ -66,6 +74,8 @@ def extract_triples(
         *[F.lit(f"{st}|{ot}") for st, ot in sorted({(s, o) for s, _p, o in predicates})]
     )
     m = F.struct("level", "start_tok", "end_tok", "type", "text")
+    if width:
+        mentions = mentions.repartition(width, F.col("conv_id"), F.col("turn_idx"))
     per_turn = mentions.groupBy("conv_id", "turn_idx").agg(
         F.collect_list(m).alias("ms")
     )

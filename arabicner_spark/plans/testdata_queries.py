@@ -375,7 +375,9 @@ SELECT conv_id, turn_idx, level, type, start_tok, end_tok, text FROM menf"""
 
 def q_kg_triples(spark, sf_dir):
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
-    return triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
+    return triples_op.extract_triples(
+        m, PREDS_TD, WINDOW_TD, width=spark.sparkContext.defaultParallelism
+    )
 
 
 SQL_KG_TRIPLES = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}
@@ -425,7 +427,9 @@ GROUP BY 1, 2"""
 
 def q_kg_edges(spark, sf_dir):
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
-    t = triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
+    t = triples_op.extract_triples(
+        m, PREDS_TD, WINDOW_TD, width=spark.sparkContext.defaultParallelism
+    )
     ab = F.broadcast(best_alias(alias_df_td(spark)))
     t = t.join(
         ab.select(F.col("alias").alias("subj"), F.col("entity_id").alias("src")), "subj"
@@ -548,7 +552,9 @@ def q_kg_temporal_edges(spark, sf_dir):
     """Temporal KG rollup: edge counts per (pred, hour bucket) — the
     partition-pruning-friendly shape a time-sliced consumer reads."""
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
-    t = triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
+    t = triples_op.extract_triples(
+        m, PREDS_TD, WINDOW_TD, width=spark.sparkContext.defaultParallelism
+    )
     ts = transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
     hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
     return (
