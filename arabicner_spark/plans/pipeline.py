@@ -85,7 +85,15 @@ def run_pipeline(
     triples = runner.run(
         "triples",
         "triples",
-        lambda: extract_triples(mentions, cfg.predicates, cfg.window),
+        # explicit width: a no-op at production widths, but keeps the
+        # pair-combinatorics stage parallel when the mentions exchange
+        # is bytes-small (AQE coalescing is byte-based — PLANS.md)
+        lambda: extract_triples(
+            mentions,
+            cfg.predicates,
+            cfg.window,
+            width=spark.sparkContext.defaultParallelism,
+        ),
         count_as_triples=True,
     )
     surface_map = runner.run(
