@@ -168,8 +168,17 @@ Reproduce: `python tools/bench_scaling.py --convs {args.convs}`.
 Headline per-query timings at sf0.1: `python bench.py` (see BENCH_r*.json).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve manually-curated sections: only the auto-generated top
+    # (everything before the first preserved heading) is replaced
+    keep = ""
+    if os.path.exists(target):
+        cur = open(target).read()
+        idx = cur.find("## Measurement variance")
+        if idx != -1:
+            keep = cur[idx:]
+    with open(target, "w") as f:
+        f.write(md + ("\n" + keep if keep else ""))
     print(md)
 
 
