@@ -36,12 +36,17 @@ def _frac(hex_col: Column, nibbles: int = 15) -> Column:
 
 
 def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
-    """-> one row: (k, kth_hash, estimate) — the KMV distinct-count
-    estimate for ``col``.
+    """-> one row: (k, n_kept, kth_hash, estimate) — the KMV
+    distinct-count estimate for ``col``.
 
     Plan: distinct -> md5 -> global k smallest (TakeOrderedAndProject:
     map-side partial top-k per partition, single k-row merge) -> the
     k-th value's fraction.  No full sort, no collect of the value set.
+
+    Small-set rule (mirrors kmv_distinct_by): when the true distinct
+    count n < k, the kept set IS the whole distinct set and the
+    (k-1)/frac(h_max) formula would grossly overestimate — so the
+    sketch reports the exact kept-set size instead.
     """
     hashes = (
         df.select(F.md5(F.encode(F.col(col).cast("string"), "utf-8")).alias("h"))
@@ -49,11 +54,16 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .orderBy("h")
         .limit(k)
     )
-    kth = hashes.orderBy(F.col("h").desc()).limit(1)
-    return kth.select(
+    agg = hashes.agg(
+        F.count("*").cast("bigint").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    return agg.select(
         F.lit(k).alias("k"),
-        F.col("h").alias("kth_hash"),
-        F.round((k - 1) / _frac(F.col("h")), 4).alias("estimate"),
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.round((k - 1) / _frac(F.col("kth_hash")), 4))
+        .alias("estimate"),
     )
 
 

@@ -67,18 +67,29 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # one projection -> ONE Window node for every payload column (two
-    # withColumn calls would plan two Window passes over the sorted run)
-    filled = [
-        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+    # Fill ONE struct of the whole right-side payload, gated on
+    # __side==0, then unpack: the matched row wins ATOMICALLY.  Filling
+    # each column independently with last(col, ignorenulls) would mix
+    # values across right rows whenever the matched row carries a NULL
+    # payload column (that column would leak in from an OLDER row —
+    # not ASOF semantics).  The struct is non-null for every right row
+    # even when all its fields are NULL, so a matched-but-NULL payload
+    # correctly attaches NULL.  Still a single Window node.
+    match = (
+        F.last(
+            F.when(
+                F.col("__side") == 0, F.struct(*[F.col(c) for c in value_cols])
+            ),
+            ignorenulls=True,
+        )
         .over(w)
-        .alias(c)
-        for c in value_cols
-    ]
+        .alias("__match")
+    )
     keep = [c for c in u.columns if c not in value_cols]
     return (
-        u.select(*keep, *filled)
+        u.select(*keep, match)
         .where(F.col("__side") == 1)
+        .select(*keep, *[F.col("__match")[c].alias(c) for c in value_cols])
         .drop("__ts", "__side")
     )
 
@@ -106,13 +117,33 @@ def asof_join_bucketed(
     keys = list(keys)
     lb = left.withColumn("__kb", F.floor(F.col(left_ts) / bucket_width).cast("long"))
     rb = right.withColumn("__kb", F.floor(F.col(right_ts) / bucket_width).cast("long"))
-    # pass 1: in-bucket as-of — bounded windows under any key skew
-    infill = asof_join(lb, rb, keys + ["__kb"], left_ts, right_ts, value_cols)
-
-    # carry table: latest right payload per (key, bucket)
-    summaries = rb.groupBy(*keys, "__kb").agg(
-        *[F.max_by(c, F.col(right_ts)).alias(f"__prev_{c}") for c in value_cols]
+    # pass 1: in-bucket as-of — bounded windows under any key skew.
+    # __hit marks "an in-bucket predecessor EXISTS" (fills atomically
+    # with the payload), so the boundary stitch below can distinguish a
+    # matched-but-NULL payload (keep the NULL — ASOF semantics) from
+    # "no in-bucket match" (take the carried value).
+    rb_hit = rb.withColumn("__hit", F.lit(1))
+    infill = asof_join(
+        lb, rb_hit, keys + ["__kb"], left_ts, right_ts, list(value_cols) + ["__hit"]
     )
+
+    # carry table: the latest right ROW per (key, bucket) — max_by over
+    # one struct so a NULL payload column cannot be skipped per-column
+    # (max_by(c, ts) ignores rows where c is NULL, which would mix rows)
+    summaries = (
+        rb.groupBy(*keys, "__kb")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in value_cols]), F.col(right_ts)
+            ).alias("__row")
+        )
+        .select(
+            *keys,
+            "__kb",
+            *[F.col("__row")[c].alias(f"__prev_{c}") for c in value_cols],
+        )
+    )
+
     # distinct left buckets as-of the latest summary in an EARLIER
     # bucket — this union+window runs over bucket-granular rows only
     lbuckets = lb.select(*keys, "__kb").distinct().withColumn(
@@ -132,8 +163,18 @@ def asof_join_bucketed(
     ).select(*keys, "__kb", *[F.col(f"__prev_{c}") for c in value_cols])
 
     out = infill.join(carried, keys + ["__kb"], "left")
+    # stitch on the EXISTENCE flag, not value-NULLness: an in-bucket
+    # match whose payload is NULL keeps its NULL (the matched row wins
+    # whole); only rows with no in-bucket predecessor take the carry
     final = [
-        F.coalesce(F.col(c), F.col(f"__prev_{c}")).alias(c) for c in value_cols
+        F.when(F.col("__hit").isNotNull(), F.col(c))
+        .otherwise(F.col(f"__prev_{c}"))
+        .alias(c)
+        for c in value_cols
     ]
-    keep = [c for c in infill.columns if c not in value_cols and c != "__kb"]
+    keep = [
+        c
+        for c in infill.columns
+        if c not in value_cols and c not in ("__kb", "__hit")
+    ]
     return out.select(*keep, *final)

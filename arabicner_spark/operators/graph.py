@@ -82,6 +82,70 @@ def pagerank(
     return ranks
 
 
+PR_SCALE = 10**9  # fixed-point unit for pagerank_exact: 1 rank = 1e9
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank in FIXED-POINT integer arithmetic: (node, rank_i) with
+    rank_i in units of 1/PR_SCALE.
+
+    Same power iteration as ``pagerank``, but every quantity is a
+    BIGINT and every division is integral (``div``), so the result is
+    bit-identical regardless of partitioning, engine, or accumulation
+    order — float ``sum(double)`` depends on reduction order and can
+    land on a rounding boundary, flipping a value-hash gate (the exact
+    drift mode the suite elsewhere avoids via integer cents).  The
+    per-step floor loses < 1e-9 of mass per edge — far below any
+    ranking-relevant signal — and buys cross-engine exactness, which is
+    what a correctness GATE needs; production ranking keeps the float
+    ``pagerank`` above.
+
+    ``damping_pct`` is the damping factor in percent (85 = 0.85) so the
+    damping multiply stays integral: inflow*85 div 100.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out"))
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("rank_i"))
+    base = (PR_SCALE * (100 - damping_pct)) // (100 * n)
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_i div out").cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"(coalesce(inflow, 0) * {damping_pct}) div 100")
+                ).cast("long").alias("rank_i"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
+    return ranks
+
+
 def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Distinct undirected edge set as (a, b) with a < b, self-loops dropped.
 

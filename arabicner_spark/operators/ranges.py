@@ -29,14 +29,19 @@ def range_join(
     start_col: str,
     end_col: str,
     bucket_width: int,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join points to the intervals containing them
+    """INNER-join points to the intervals containing them
     (``start <= ts < end``, all in the same integer unit — epoch
     seconds, micros, whatever the caller quantized to).
 
     Returns points columns + intervals columns.  ``bucket_width`` is in
     the same unit.  Intervals must satisfy start <= end.
+
+    Only inner semantics are offered: the containment predicate runs as
+    a post-join filter, so an outer join flavor would silently drop its
+    unmatched rows there (NULL start/end fails the filter) — i.e. it
+    would degrade to inner anyway.  Callers needing left-outer should
+    anti-join the matched point ids back against ``points``.
     """
     b_pt = F.floor(F.col(ts_col) / bucket_width)
     pts = points.withColumn("__bucket", b_pt.cast("long"))
@@ -52,7 +57,7 @@ def range_join(
         ),
     )
     return (
-        pts.join(spans, "__bucket", how)
+        pts.join(spans, "__bucket", "inner")
         .where((F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("__bucket")
     )

@@ -82,17 +82,25 @@ def run_pipeline(
         ),
         partition_by=["type"],
     )
+    # explicit width pin: keeps the pair-combinatorics stage parallel
+    # when the mentions exchange is bytes-small (AQE coalescing is
+    # byte-based — PLANS.md).  The pin REPLACES the AQE-sized exchange,
+    # so it must never be NARROWER than the configured shuffle width —
+    # pinning to bare defaultParallelism would cap the aggregate at
+    # cluster-core count partitions on arbitrarily large inputs
+    # (oversized partitions, no AQE split on the pinned exchange).
+    pin_width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
     triples = runner.run(
         "triples",
         "triples",
-        # explicit width: a no-op at production widths, but keeps the
-        # pair-combinatorics stage parallel when the mentions exchange
-        # is bytes-small (AQE coalescing is byte-based — PLANS.md)
         lambda: extract_triples(
             mentions,
             cfg.predicates,
             cfg.window,
-            width=spark.sparkContext.defaultParallelism,
+            width=pin_width,
         ),
         count_as_triples=True,
     )

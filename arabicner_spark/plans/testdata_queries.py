@@ -82,6 +82,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def pin_width(spark: SparkSession) -> int:
+    """Partition count for explicit width pins on compute-bound,
+    bytes-small stages (shingle/minhash, pair-combinatorics — see
+    PLANS.md on AQE byte-based coalescing).  max() of core count and
+    the configured shuffle width: the pin replaces the AQE-sized
+    exchange, so pinning to bare defaultParallelism would CAP those
+    stages at cluster-core-count partitions on arbitrarily large
+    inputs (ADVICE r3)."""
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+
+
 def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> transcript table of the input_hint shape."""
     d = load(spark, sf_dir, "documents")
@@ -376,7 +390,7 @@ SELECT conv_id, turn_idx, level, type, start_tok, end_tok, text FROM menf"""
 def q_kg_triples(spark, sf_dir):
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
     return triples_op.extract_triples(
-        m, PREDS_TD, WINDOW_TD, width=spark.sparkContext.defaultParallelism
+        m, PREDS_TD, WINDOW_TD, width=pin_width(spark)
     )
 
 
@@ -428,7 +442,7 @@ GROUP BY 1, 2"""
 def q_kg_edges(spark, sf_dir):
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
     t = triples_op.extract_triples(
-        m, PREDS_TD, WINDOW_TD, width=spark.sparkContext.defaultParallelism
+        m, PREDS_TD, WINDOW_TD, width=pin_width(spark)
     )
     ab = F.broadcast(best_alias(alias_df_td(spark)))
     t = t.join(
@@ -448,23 +462,35 @@ FROM tri JOIN alias_best sa ON tri.subj = sa.alias
 
 def q_kg_pagerank(spark, sf_dir):
     """Iterative graph analytics over the canonical KG: 5 PageRank
-    power steps (damping 0.85) via the REAL operators/graph.pagerank
-    driver-loop operator (join + groupBy per round, localCheckpoint to
-    cut lineage — the same iterative-dataflow class as connected
-    components).  The oracle unrolls the 5 iterations as chained CTEs,
-    so even an iterative algorithm gets exact value-hash parity."""
-    from arabicner_spark.operators.graph import pagerank
+    power steps (damping 0.85) via the REAL
+    operators/graph.pagerank_exact driver-loop operator (join + groupBy
+    per round, localCheckpoint to cut lineage — the same
+    iterative-dataflow class as connected components).  The oracle
+    unrolls the 5 iterations as chained CTEs.
+
+    FIXED-POINT gate (ADVICE r3): the float variant sums doubles whose
+    accumulation order differs per engine/partitioning, so five
+    compounded iterations could land a rank on a round(,4) boundary and
+    flip the value-hash.  pagerank_exact keeps every rank a BIGINT in
+    1e-9 units with integral division only — bit-identical in Spark and
+    DuckDB by construction (`div` == `//` for non-negative ints).  The
+    output rank is the single float op rank_i/1e9 (correctly rounded,
+    identical everywhere)."""
+    from arabicner_spark.operators.graph import PR_SCALE, pagerank_exact
 
     edges = q_kg_edges(spark, sf_dir)
-    pr = pagerank(edges, iterations=5, damping=0.85)
-    return pr.select("node", F.round("rank", 4).alias("rank"))
+    pr = pagerank_exact(edges, iterations=5, damping_pct=85)
+    return pr.select(
+        "node", (F.col("rank_i").cast("double") / F.lit(float(PR_SCALE))).alias("rank")
+    )
 
 
 def _sql_pr_iter(prev: str, cur: str) -> str:
     return f"""{cur} AS (
-  SELECT nd.node, 0.15 / cnt.n + 0.85 * coalesce(s.inflow, 0) AS rank
+  SELECT nd.node,
+         cnt.base + (coalesce(s.inflow, 0) * 85) // 100 AS rank_i
   FROM nd CROSS JOIN cnt
-  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / od.outd) AS inflow
+  LEFT JOIN (SELECT e.dst AS node, sum(p.rank_i // od.outd) AS inflow
              FROM {prev} p JOIN ed e ON e.src = p.node JOIN od ON od.src = e.src
              GROUP BY e.dst) s ON s.node = nd.node
 )"""
@@ -475,15 +501,17 @@ ed AS (SELECT DISTINCT sa.entity_id AS src, sb.entity_id AS dst
        FROM tri JOIN alias_best sa ON tri.subj = sa.alias
                 JOIN alias_best sb ON tri.obj = sb.alias),
 nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
-od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM ed GROUP BY src),
-pr0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nd CROSS JOIN cnt),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               (CAST(1000000000 AS BIGINT) * 15) // (100 * CAST(count(*) AS BIGINT)) AS base
+        FROM nd),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS outd FROM ed GROUP BY src),
+pr0 AS (SELECT node, 1000000000 // cnt.n AS rank_i FROM nd CROSS JOIN cnt),
 {_sql_pr_iter('pr0', 'pr1')},
 {_sql_pr_iter('pr1', 'pr2')},
 {_sql_pr_iter('pr2', 'pr3')},
 {_sql_pr_iter('pr3', 'pr4')},
 {_sql_pr_iter('pr4', 'pr5')}
-SELECT node, round(rank, 4) AS rank FROM pr5"""
+SELECT node, CAST(rank_i AS DOUBLE) / 1000000000.0 AS rank FROM pr5"""
 
 
 def q_kg_top_surfaces(spark, sf_dir):
@@ -553,7 +581,7 @@ def q_kg_temporal_edges(spark, sf_dir):
     partition-pruning-friendly shape a time-sliced consumer reads."""
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
     t = triples_op.extract_triples(
-        m, PREDS_TD, WINDOW_TD, width=spark.sparkContext.defaultParallelism
+        m, PREDS_TD, WINDOW_TD, width=pin_width(spark)
     )
     ts = transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
     hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
@@ -627,10 +655,10 @@ def q_kg_components(spark, sf_dir):
     )
     reps, star = _exact_group_reps(d)
     sh = hashing.word_shingles(
-        reps, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+        reps, ["id"], "text", n=3, width=pin_width(spark)
     )
     sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+        sh, ["id"], n_hashes=16, width=pin_width(spark)
     )
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
@@ -807,10 +835,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         F.col("doc_id").cast("string").alias("id"), "text"
     )
     sh = hashing.word_shingles(
-        d, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+        d, ["id"], "text", n=3, width=pin_width(spark)
     )
     sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+        sh, ["id"], n_hashes=16, width=pin_width(spark)
     )
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
@@ -834,10 +862,10 @@ def q_dedup_jaccard(spark, sf_dir):
     # reused by signatures, both sides of the intersection join, and
     # sizes -> materialize once
     sh = hashing.word_shingles(
-        d, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+        d, ["id"], "text", n=3, width=pin_width(spark)
     ).localCheckpoint(eager=True)
     sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+        sh, ["id"], n_hashes=16, width=pin_width(spark)
     )
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
@@ -929,7 +957,7 @@ def q_dedup_embedding(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    width = spark.sparkContext.defaultParallelism
+    width = pin_width(spark)
     bands = hashing.sign_lsh_bands(
         e, "vec_id", "v", bits_per_band=EMB_LSH_BITS, n_bands=EMB_LSH_BANDS
     )
@@ -1301,7 +1329,7 @@ def q_text_fingerprint(spark, sf_dir):
         F.col("doc_id"), F.col("text")
     )
     sh = hashing.word_shingles(
-        d, ["doc_id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+        d, ["doc_id"], "text", n=3, width=pin_width(spark)
     )
     return sh.groupBy("doc_id").agg(
         F.min(hashing.seeded_md5(F.col("shingle"), 99)).alias("fingerprint")
@@ -1501,10 +1529,10 @@ def q_dedup_survivors(spark, sf_dir):
     # only — see _exact_group_reps for why this is output-identical)
     reps, exact = _exact_group_reps(d)
     sh = hashing.word_shingles(
-        reps, ["id"], "text", n=3, width=spark.sparkContext.defaultParallelism
+        reps, ["id"], "text", n=3, width=pin_width(spark)
     )
     sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=spark.sparkContext.defaultParallelism
+        sh, ["id"], n_hashes=16, width=pin_width(spark)
     )
     near = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
@@ -2082,6 +2110,7 @@ def q_sketch_kmv_distinct(spark, sf_dir):
     exact = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("exact_n"))
     return sk.crossJoin(exact).select(
         "k",
+        "n_kept",
         "kth_hash",
         "estimate",
         "exact_n",
@@ -2096,16 +2125,17 @@ WITH h AS (
   SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
 ),
 topk AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
-kth AS (SELECT max(h) AS kth_hash FROM topk),
+kth AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash FROM topk),
 ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_n FROM lineitem),
 est AS (
-  SELECT {KMV_K} AS k, kth_hash,
-         round(({KMV_K} - 1) /
-               ((CAST(('0x' || substr(kth_hash, 1, 15)) AS UBIGINT)::DOUBLE + 1)
-                / {float(16 ** 15)}), 4) AS estimate
+  SELECT {KMV_K} AS k, n_kept, kth_hash,
+         CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+              ELSE round(({KMV_K} - 1) /
+                   ((CAST(('0x' || substr(kth_hash, 1, 15)) AS UBIGINT)::DOUBLE + 1)
+                    / {float(16 ** 15)}), 4) END AS estimate
   FROM kth
 )
-SELECT k, kth_hash, estimate, exact_n,
+SELECT k, n_kept, kth_hash, estimate, exact_n,
        round(abs(estimate - exact_n) / exact_n, 4) AS rel_err
 FROM est, ex"""
 

@@ -42,6 +42,16 @@ def test_kmv_estimate_within_theory_bound(spark):
     assert row.estimate == pytest.approx(n, rel=5.0 / (k - 2) ** 0.5)
 
 
+def test_kmv_small_set_reports_exact_count(spark):
+    """n < k: the kept set is the whole distinct set, so the sketch
+    must report the exact size, not (k-1)/frac(h_max) (which would
+    grossly overestimate a tiny set)."""
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    row = kmv_distinct(df, "v", k=64).first()
+    assert row.n_kept == 10
+    assert row.estimate == 10.0
+
+
 def test_kmv_deterministic_across_partitionings(spark):
     df = spark.range(2000).select(F.col("id").cast("string").alias("v"))
     a = kmv_distinct(df.repartition(1), "v").first()
