@@ -1296,6 +1296,59 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_text_subword_counts(spark, sf_dir):
+    """Subword (not whitespace) token counting — the unit LLM data
+    budgets are denominated in (operators/tokencount, stand-in chunker
+    rule max(1, ceil(len/4)) per token, mirroring the reference
+    tokenizer's [UNK] fallback, arabiner/data/transforms.py:23-52).
+    Per-doc rows carry total subwords, subwords kept under the
+    max_seq_len-2 truncation budget, and the count of TAGGABLE tokens
+    (first subword inside the budget — transforms.py:101-107); a
+    doc_id=-1 row is the corpus total.  Runs the pure-codegen
+    expression path (one transform + one aggregate fold, no Python);
+    the mapInPandas/tagcore twin is pinned equal in
+    tests/test_tokencount.py."""
+    from arabicner_spark.operators.tokencount import subword_counts_expr
+
+    d = load(spark, sf_dir, "documents")
+    per = subword_counts_expr(d, "doc_id", "text", max_seq_len=512)
+    total = per.groupBy().agg(
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.sum("n_tokens").cast("int").alias("n_tokens"),
+        F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        F.sum("n_kept").cast("int").alias("n_kept"),
+        F.sum("n_taggable").cast("int").alias("n_taggable"),
+    ).select("doc_id", "n_tokens", "n_subwords", "n_kept", "n_taggable")
+    return per.unionByName(total)
+
+
+SQL_TEXT_SUBWORD_COUNTS = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+         greatest(1, (length(unnest(string_split(text, ' '))) + 3) // 4) AS sl
+  FROM documents
+),
+c AS (
+  SELECT doc_id, sl,
+         sum(sl) OVER (PARTITION BY doc_id ORDER BY pos) - sl AS first_idx
+  FROM tok
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS INTEGER) AS n_tokens,
+         CAST(sum(sl) AS BIGINT) AS n_subwords,
+         CAST(least(sum(sl), 510) AS INTEGER) AS n_kept,
+         CAST(sum(CASE WHEN first_idx < 510 THEN 1 ELSE 0 END) AS INTEGER) AS n_taggable
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_subwords, n_kept, n_taggable FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(sum(n_tokens) AS INTEGER), CAST(sum(n_subwords) AS BIGINT),
+       CAST(sum(n_kept) AS INTEGER), CAST(sum(n_taggable) AS INTEGER)
+FROM per"""
+
+
 def q_text_langid(spark, sf_dir):
     """Stopword-vote language id (deterministic heuristic; documents'
     synthetic text is English-ish so 'en' dominates — the point is the
@@ -1602,28 +1655,88 @@ SELECT lang, count(*) AS n_total,
 FROM documents GROUP BY lang"""
 
 
-_PII_NUM = "[0-9]{2,}"
-
-
-def q_text_pii_scrub(spark, sf_dir):
-    """PII-style scrubbing pass: redact digit runs (>=2) to <NUM>,
-    report per-doc redaction count + md5 of the scrubbed text (the
-    hash pins the full scrubbed payload without shipping it)."""
-    d = load(spark, sf_dir, "documents")
-    scrubbed = F.regexp_replace("text", _PII_NUM, "<NUM>")
-    n_red = F.size(F.regexp_extract_all("text", F.lit(_PII_NUM), 0)).cast("int")
-    return d.select(
-        "doc_id",
-        n_red.alias("n_redactions"),
-        hashing.md5_utf8(scrubbed).alias("scrubbed_md5"),
+def _pii_augmented(d):
+    """documents + deterministically-injected PII (the corpus text has
+    none naturally, and an unexercised scrubber is an untested one):
+    doc_id mod 4 appends an email / a separator-laden phone / an IPv4 /
+    nothing.  The same expression is mirrored in SQL so both engines
+    scrub identical input."""
+    return d.withColumn(
+        "aug_text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit(" order "), (F.col("doc_id") * 13).cast("string"), F.lit(" confirmed"))
+            ),
+        ),
     )
 
 
-SQL_TEXT_PII_SCRUB = f"""
+_SQL_PII_AUG = """aug AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           ELSE ' order ' || CAST(doc_id * 13 AS VARCHAR) || ' confirmed'
+         END AS aug_text
+  FROM documents)"""
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """Multi-class PII scrubbing (functions/pii.scrub_pii): email ->
+    IPv4 -> phone -> digit-run, applied in priority order so classes
+    never double-count, with per-class redaction counts + md5 of the
+    fully scrubbed text (the hash pins the whole payload without
+    shipping it).  Input is documents text + deterministically injected
+    PII (see _pii_augmented) so every class is actually exercised."""
+    from arabicner_spark.functions.pii import scrub_pii
+
+    d = _pii_augmented(load(spark, sf_dir, "documents"))
+    s = scrub_pii(d, "aug_text")
+    return s.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        "n_num",
+        hashing.md5_utf8(F.col("scrubbed")).alias("scrubbed_md5"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from arabicner_spark.functions.pii import sql_scrub_exprs
+
+    e = sql_scrub_exprs("aug_text")
+    return f"""
+WITH {_SQL_PII_AUG}
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{_PII_NUM}')) AS INTEGER) AS n_redactions,
-       md5(regexp_replace(text, '{_PII_NUM}', '<NUM>', 'g')) AS scrubbed_md5
-FROM documents"""
+       {e['n_email']} AS n_email,
+       {e['n_ip']} AS n_ip,
+       {e['n_phone']} AS n_phone,
+       {e['n_num']} AS n_num,
+       md5({e['scrubbed']}) AS scrubbed_md5
+FROM aug"""
+
+
+SQL_TEXT_PII_SCRUB = _sql_pii_scrub()
 
 
 def q_text_bigrams(spark, sf_dir):
@@ -3538,6 +3651,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
