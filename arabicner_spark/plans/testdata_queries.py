@@ -1461,6 +1461,53 @@ SELECT doc_id, CAST(duration_ms AS BIGINT) AS duration_ms,
 FROM f"""
 
 
+def q_mm_resize(spark, sf_dir):
+    """The multimodal RESIZE operator under the oracle gate
+    (operators/multimodal.resize_assets): documents text bytes as
+    opaque binary payloads, stub-decoded to deterministic source dims
+    (md5 digest bytes), aspect-preserving scale to max_side=32, and a
+    byte-stride 'resample' whose md5 pins the resized payload
+    bit-for-bit.  The mapInPandas plumbing (schema, Arrow batches,
+    column pruning) is the real 100-TB shape; only the codec call is
+    the documented stub.  The oracle reproduces digest-byte dims, the
+    float scale chain (same IEEE op sequence), and the stride slice in
+    SQL — documents text is pure ASCII at every sf, so char positions
+    == byte positions."""
+    from arabicner_spark.operators.multimodal import resize_assets
+
+    d = load(spark, sf_dir, "documents")
+    assets = d.select(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return resize_assets(assets, max_side=32)
+
+
+SQL_MM_RESIZE = """
+WITH a AS (
+  SELECT 'a' || CAST(doc_id AS VARCHAR) AS asset_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+         text, md5(text) AS h, length(text) AS n
+  FROM documents),
+dims AS (
+  SELECT *, CAST(16 + CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % 64 AS INTEGER) AS w,
+            CAST(16 + CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 64 AS INTEGER) AS ht
+  FROM a),
+scaled AS (
+  SELECT *, CAST(greatest(1, floor(w * least(1.0, 32.0 / greatest(w, ht)))) AS INTEGER) AS dw,
+            CAST(greatest(1, floor(ht * least(1.0, 32.0 / greatest(w, ht)))) AS INTEGER) AS dh
+  FROM dims),
+strided AS (
+  SELECT *, CASE WHEN n = 0 THEN 1 ELSE greatest(1, n // greatest(dw * dh, 1)) END AS stride
+  FROM scaled)
+SELECT asset_id, modality, w AS src_width, ht AS src_height,
+       dw AS dst_width, dh AS dst_height,
+       md5(coalesce((SELECT string_agg(substr(s.text, CAST(u.p AS INTEGER), 1), '' ORDER BY u.p)
+                     FROM unnest(generate_series(1, s.n, s.stride)) AS u(p)), '')) AS resized_md5
+FROM strided s"""
+
+
 # ------------------------------------------------- relational/star-schema
 
 def q_rel_lineitem_agg(spark, sf_dir):
@@ -3449,6 +3496,103 @@ SELECT * FROM sessions
 WHERE end_us <= (SELECT max(epoch_us(ts)) FROM events) - 600000000"""
 
 
+def q_stream_join_enrich(spark, sf_dir):
+    """Watermarked STREAM-STREAM inner join, oracle-gated
+    (streaming/ingest.join_turn_metadata): the mentions stream joined
+    with a SECOND independent stream of the raw turns on
+    (conv_id, turn_idx) plus an event-time tolerance bound — the bound
+    is what lets the state store evict buffered rows, the difference
+    between a production stream-stream join and an unbounded one.  Both
+    streams read the same one-file source (single micro-batch per side,
+    so the watermark can never drop rows), drain with availableNow into
+    an append memory sink, and the joined rows must equal the BATCH
+    mentions ⋈ turns join (the DuckDB oracle)."""
+    import tempfile
+    import uuid
+
+    from arabicner_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="arabicner_stream_join_src_")
+    transcripts(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
+    mentions = ingest.streaming_mentions(
+        ingest.stream_transcripts(spark, src), gazetteer_dict_td()
+    )
+    turns = ingest.stream_transcripts(spark, src)
+    joined = ingest.join_turn_metadata(mentions, turns)
+    qname = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_join_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "conv_id", "turn_idx", "role", "level", "type", "start_tok", "end_tok", "text"
+    )
+
+
+SQL_STREAM_JOIN_ENRICH = f"""WITH {_SQL_T}, {_SQL_MEN}
+SELECT m.conv_id, m.turn_idx, t.role, m.level, m.type, m.start_tok, m.end_tok, m.text
+FROM men m JOIN t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming deduplication with BOUNDED state, oracle-gated
+    (streaming/ingest.dedup_within_watermark →
+    dropDuplicatesWithinWatermark): the events table is written with
+    every row DUPLICATED (union all self) into one file — a single
+    micro-batch, so every duplicate pair arrives within the watermark
+    delay and must be suppressed — then drained with availableNow into
+    an append memory sink.  The surviving rows must equal the batch
+    DISTINCT over events (the DuckDB oracle).  Cents fixed-point keeps
+    the payload integer for the value hash."""
+    import tempfile
+    import uuid
+
+    from arabicner_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="arabicner_stream_dedup_src_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, cents bigint"
+    ).parquet(src)
+    deduped = ingest.dedup_within_watermark(stream, ["event_id"], "ts", "10 minutes")
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="arabicner_stream_dedup_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "cents"
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events"""
+
+
 def q_rel_gap_fill(spark, sf_dir):
     """Time-series gap filling with forward fill (LOCF): a dense
     per-user hourly grid over the first 72 hours (sequence + explode —
@@ -3657,6 +3801,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
     "mm_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
     "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
@@ -3683,6 +3828,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
     "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),

@@ -110,6 +110,72 @@ def user_session_aggregates(
     )
 
 
+def join_turn_metadata(
+    mentions_stream: DataFrame,
+    turns_stream: DataFrame,
+    watermark: str = "10 minutes",
+    tolerance_s: int = 300,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: the extracted-mentions
+    stream enriched with per-turn metadata (role) from a second,
+    independent stream of the raw turns.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance (|mention.ts - turn.ts| <= tolerance), so the
+    state store can evict buffered rows once the other side's watermark
+    passes the tolerance window — without the time bound, stream-stream
+    join state grows forever (the production kill at 100 TB/day).
+    Append output mode: each joined row is emitted exactly once.
+    """
+    m = mentions_stream.withWatermark("ts", watermark).alias("m")
+    t = (
+        turns_stream.select(
+            F.col("conv_id").alias("t_conv_id"),
+            F.col("turn_idx").alias("t_turn_idx"),
+            "role",
+            F.col("ts").alias("turn_ts"),
+        )
+        .withWatermark("turn_ts", watermark)
+        .alias("t")
+    )
+    cond = (
+        (F.col("m.conv_id") == F.col("t.t_conv_id"))
+        & (F.col("m.turn_idx") == F.col("t.t_turn_idx"))
+        & (F.col("m.ts") >= F.col("t.turn_ts") - F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+        & (F.col("m.ts") <= F.col("t.turn_ts") + F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+    )
+    return m.join(t, cond, "inner").select(
+        "m.conv_id",
+        "m.turn_idx",
+        "t.role",
+        "m.level",
+        "m.type",
+        "m.start_tok",
+        "m.end_tok",
+        "m.text",
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys,
+    watermark_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a seen-keys map only until
+    the watermark passes each key's event time + delay, then evicts —
+    unlike plain ``dropDuplicates`` on a stream, whose state grows with
+    every distinct key ever seen.  The contract is: duplicates arriving
+    within the watermark delay of each other are suppressed; a
+    duplicate arriving later than that MAY be re-emitted (the
+    at-least-once boundary a downstream idempotent sink absorbs).
+    """
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def mention_rate(mentions_stream: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked windowed mention counts per type (late data: 2 min)."""
     return (
