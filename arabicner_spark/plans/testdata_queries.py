@@ -3770,66 +3770,12 @@ FROM est JOIN ex ON est.grp = ex.grp"""
 
 
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
-    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
-    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
-    "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
-    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
-    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
-    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
-    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
-    "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
-    "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
-    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
-    "kg_top_surfaces": (q_kg_top_surfaces, SQL_KG_TOP_SURFACES),
-    "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
-    "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
-    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
-    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
-    "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
-    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
-    "mm_meta": (q_mm_meta, SQL_MM_META),
-    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
-    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
-    "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
-    "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
-    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
-    "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
-    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
-    "rel_cube": (q_rel_cube, SQL_REL_CUBE),
-    "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
-    "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
-    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
-    "rel_customers_no_orders": (q_rel_customers_no_orders, SQL_REL_NO_ORDERS),
-    "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
-    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
-    "contamination": (q_contamination, SQL_CONTAMINATION),
-    "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
-    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
-    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
-    "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
-    "vocab_tokens": (q_vocab_tokens, SQL_VOCAB_TOKENS),
-    "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
     "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
-    "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
-    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
@@ -3851,4 +3797,58 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
     "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
+    "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
+    "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
+    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
+    "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
+    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
+    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
+    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
+    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
+    "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
+    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
+    "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
+    "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
+    "kg_top_surfaces": (q_kg_top_surfaces, SQL_KG_TOP_SURFACES),
+    "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
+    "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "mm_meta": (q_mm_meta, SQL_MM_META),
+    "rel_cube": (q_rel_cube, SQL_REL_CUBE),
+    "rel_customers_no_orders": (q_rel_customers_no_orders, SQL_REL_NO_ORDERS),
+    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+    "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
+    "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
+    "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
+    "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
+    "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
+    "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
+    "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),
+    "vocab_tokens": (q_vocab_tokens, SQL_VOCAB_TOKENS),
 }
