@@ -1,0 +1,241 @@
+"""Scaling-efficiency evidence for the NON-KG families (r3 VERDICT
+item 2): the end-to-end dedup chain (exact-group star union
+MinHash-LSH candidates -> distributed connected components ->
+survivor decision) and graph triangle counting, each run at two pinned
+parallelism levels on the same synthetic input — the sandbox
+substitute for the north rule's two-cluster-size criterion (no real
+cluster here; same job, same input, taskset-pinned local[N] vs
+local[4N]).
+
+Parent mode: generates the corpus ONCE with pure codegen expressions
+(no driver-side row building), writes parquet, then times each job in
+a fresh taskset-pinned subprocess per level and rewrites the "Non-KG
+scaling" section of BENCH/BASELINE.md.
+
+Worker mode (--worker): one timed run of both jobs; one JSON line.
+
+Usage: python tools/bench_scaling_dedup.py [--docs 1500000]
+       [--edges 8000000] [--levels 4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOC_VOCAB = 50_000  # shared word vocabulary -> realistic shingle overlap
+DOC_WORDS = 18
+
+
+def _session(cores: int, name: str):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(name)
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def generate(docs_path: str, edges_path: str, n_docs: int, n_edges: int) -> None:
+    """Deterministic corpus, all codegen: ~10% exact dups (id%10==7
+    copies id-7), ~10% near dups (id%10==8 shares id-8's words plus a
+    unique tail token); words drawn from a DOC_VOCAB-sized vocabulary
+    so unrelated docs still share shingles (LSH has real work to do).
+    Edge list: n_edges pseudo-random (xxhash64) edges over n_docs/8
+    nodes (avg degree ~16 undirected)."""
+    from pyspark.sql import functions as F
+
+    spark = _session(8, "nonkg-gen")
+    base = spark.range(n_docs)
+    src = (
+        F.when(F.col("id") % 10 == 7, F.col("id") - 7)
+        .when(F.col("id") % 10 == 8, F.col("id") - 8)
+        .otherwise(F.col("id"))
+    )
+    # xxhash64(src, j) mixes NON-linearly: with a linear formula
+    # (src*a + j*b) % V, one cross-doc word collision propagates to the
+    # whole rest of both docs (both sides advance by the same +b), so
+    # LSH fuses the corpus into one giant component — the first run of
+    # this bench did exactly that (1.5M docs -> 33 survivors).
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(DOC_WORDS - 1)),
+        lambda j: F.substring(
+            F.md5(
+                F.pmod(F.xxhash64(src, j.cast("long")), F.lit(DOC_VOCAB)).cast(
+                    "string"
+                )
+            ),
+            1,
+            6,
+        ),
+    )
+    text = F.when(
+        F.col("id") % 10 == 8,
+        F.concat(
+            F.concat_ws(" ", words), F.lit(" tail"), F.col("id").cast("string")
+        ),
+    ).otherwise(F.concat_ws(" ", words))
+    base.select(F.col("id"), text.alias("text")).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+
+    n_nodes = max(n_docs // 8, 1000)
+    spark.range(n_edges).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n_nodes)).alias("dst"),
+    ).repartition(64).write.mode("overwrite").parquet(edges_path)
+    spark.stop()
+
+
+def worker(cores: int, docs_path: str, edges_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from arabicner_spark.functions import hashing
+    from arabicner_spark.operators.components import connected_components_adaptive
+    from arabicner_spark.operators.graph import triangle_count
+    from arabicner_spark.plans.testdata_queries import _exact_group_reps
+
+    spark = _session(cores, f"nonkg-scaling-{cores}")
+    width = max(spark.sparkContext.defaultParallelism, 2 * cores)
+
+    docs = spark.read.parquet(docs_path).select(
+        F.col("id").cast("string").alias("id"), "text"
+    )
+    n_docs = docs.count()  # force scan before the clock
+
+    t0 = time.time()
+    reps, exact = _exact_group_reps(docs)
+    sh = hashing.word_shingles(reps, ["id"], "text", n=3, width=width)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16, width=width)
+    near = hashing.lsh_candidate_pairs(
+        hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
+    )
+    comp = connected_components_adaptive(exact.unionByName(near))
+    n_dropped = comp.where(F.col("node") != F.col("component")).count()
+    dedup_wall = time.time() - t0
+
+    edges = spark.read.parquet(edges_path)
+    n_edges = edges.count()  # force scan before the clock
+    t1 = time.time()
+    n_tris = triangle_count(edges).agg(F.sum("n_triangles")).first()[0] or 0
+    tri_wall = time.time() - t1
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "docs": n_docs,
+                "dropped": n_dropped,
+                "dedup_wall_s": round(dedup_wall, 2),
+                "docs_per_sec": round(n_docs / dedup_wall, 1),
+                "edges": n_edges,
+                "triangle_corners": int(n_tris),
+                "tri_wall_s": round(tri_wall, 2),
+                "edges_per_sec": round(n_edges / tri_wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--cores", type=int)
+    p.add_argument("--docs-path")
+    p.add_argument("--edges-path")
+    p.add_argument("--docs", type=int, default=1_500_000)
+    p.add_argument("--edges", type=int, default=8_000_000)
+    p.add_argument("--levels", default="4,16")
+    args = p.parse_args()
+
+    if args.worker:
+        worker(args.cores, args.docs_path, args.edges_path)
+        return
+
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="nonkg_scaling_")
+    docs_path = os.path.join(work, "docs")
+    edges_path = os.path.join(work, "edges")
+    generate(docs_path, edges_path, args.docs, args.edges)
+
+    results = []
+    for cores in [int(x) for x in args.levels.split(",")]:
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--worker",
+            "--cores", str(cores),
+            "--docs-path", docs_path, "--edges-path", edges_path,
+        ]
+        # same pinning rationale as tools/bench_scaling.py: cap the
+        # whole worker at exactly N CPUs like a real N-core executor
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print("WORKER FAILED:", proc.stdout[-2000:], proc.stderr[-2000:])
+            sys.exit(1)
+        results.append(json.loads(line[-1]))
+        print(results[-1])
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff_d = (lo["dedup_wall_s"] / hi["dedup_wall_s"]) / ratio
+    eff_t = (lo["tri_wall_s"] / hi["tri_wall_s"]) / ratio
+    md = f"""## Non-KG scaling (dedup/LSH/CC + graph triangles)
+
+Same two-pinned-levels methodology as the KG table above, on a
+{lo['docs']:,}-doc synthetic corpus (~10% exact dups, ~10% near dups,
+shared {DOC_VOCAB:,}-word vocabulary) and a {lo['edges']:,}-edge
+pseudo-random graph.  Jobs: (1) end-to-end dedup survivors —
+exact-group star ∪ MinHash-LSH(16 hashes, 8x2 bands) candidates →
+distributed connected components → keep/drop ({lo['dropped']:,} docs
+dropped); (2) degree-ordered triangle counting
+({lo['triangle_corners']:,} triangle corners).
+
+| job | local[{lo['cores']}] wall (s) | local[{hi['cores']}] wall (s) | {lo['cores']}-core rate | {hi['cores']}-core rate | efficiency |
+|---|---|---|---|---|---|
+| dedup survivors | {lo['dedup_wall_s']} | {hi['dedup_wall_s']} | {lo['docs_per_sec']:,} docs/s | {hi['docs_per_sec']:,} docs/s | {eff_d:.2f} |
+| triangle count | {lo['tri_wall_s']} | {hi['tri_wall_s']} | {lo['edges_per_sec']:,} edges/s | {hi['edges_per_sec']:,} edges/s | {eff_t:.2f} |
+
+(North-rule target >= 0.8 at a 4x core ratio.  Reproduce:
+`python tools/bench_scaling_dedup.py`.)
+"""
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    cur = open(target).read() if os.path.exists(target) else ""
+    marker = "## Non-KG scaling"
+    if marker in cur:
+        head, _, rest = cur.partition(marker)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        cur = head + md + tail
+    else:
+        # insert before the Measurement variance section if present
+        idx = cur.find("## Measurement variance")
+        cur = cur[:idx] + md + "\n" + cur[idx:] if idx != -1 else cur + "\n" + md
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(target, "w") as f:
+        f.write(cur)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
