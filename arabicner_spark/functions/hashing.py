@@ -88,31 +88,70 @@ def char_shingles(df: DataFrame, id_cols: List[str], text_col: str, n: int = 3) 
     )
 
 
+# MinHash rehash family: ONE strong base hash per shingle (md5, kept
+# for cross-engine portability and distribution quality) + n cheap
+# affine rehashes h_s = (A[s]*h + B[s]) mod MINHASH_P — the classic
+# universal-family construction.  r4 change, measured motivation: the
+# old form computed n_hashes FULL md5s per shingle; md5 is the single
+# most expensive expression in the dedup chain and dense hash compute
+# is exactly what saturates shared execution ports first (sandbox
+# scaling probes: md5-bound stages cap at ~0.63 efficiency 4->16 cores
+# while Python/numpy stages reach ~0.9).  One md5 + n integer mul-mods
+# is ~n x less hash work at ANY scale, and every value stays in
+# branch-free int64 codegen.  Bounds: base h < 2^32 (8 md5 nibbles),
+# A[s] < 2^30, B[s] < 2^32, so A*h + B < 2^63 — exact in BIGINT in
+# both Spark and DuckDB; MINHASH_P is the smallest prime > 2^32.
+# 32-bit base caveat: distinct-shingle collisions run ~n_shingles/2^32
+# (1% at 43M shingles) — noise for Jaccard estimation; widen the slice
+# + switch the mul-mod to DECIMAL(38)/HUGEINT if a corpus ever needs
+# a 60-bit base.
+MINHASH_P = 4_294_967_311
+
+
+def minhash_affine_consts(n_hashes: int) -> list:
+    """Deterministic (A[s], B[s]) pairs, identical for the SQL mirror."""
+    return [
+        (
+            (((2 * s + 1) * 0x9E3779B9) % (1 << 30)) | 1,
+            (s * 0xC2B2AE35 + 0x165667B1) % (1 << 32),
+        )
+        for s in range(n_hashes)
+    ]
+
+
+def minhash_base(col: Column) -> Column:
+    """First 8 md5 nibbles of the shingle as a BIGINT in [0, 2^32)."""
+    return F.conv(F.substring(md5_utf8(col), 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_cols: List[str],
     n_hashes: int = 16,
     width: int | None = None,
 ) -> DataFrame:
-    """id -> [h0..h{n-1}] minhash columns, ONE aggregation pass.
+    """id -> [h0..h{n-1}] BIGINT minhash columns, ONE aggregation pass.
 
-    min over md5(seed|shingle) per seed — a single hash-aggregate with
-    map-side partial mins, so the shuffle carries one row per id.
+    min over (A[s]*md5_32(shingle)+B[s]) mod P per s — a single
+    hash-aggregate with map-side partial mins, so the shuffle carries
+    one row per id (and 8-byte longs, not 32-char hex strings).
 
     ``width``: explicit partition count for the hashing stage.  The
-    md5 work (n_hashes evaluations per shingle) is COMPUTE-bound, but
-    AQE coalesces the upstream distinct's output by BYTES — a few MB of
-    shingles folds to one partition and the whole hashing stage runs
-    single-threaded (measured 5.4s -> sub-second at sf0.1 with
-    width=32).  An explicit repartition(width, id_cols) pins the stage
-    width; the groupBy reuses that clustering (ClusteredDistribution is
-    number-agnostic), so it costs no extra exchange beyond the small
-    re-spread itself.
+    hash work is COMPUTE-bound, but AQE coalesces the upstream
+    distinct's output by BYTES — a few MB of shingles folds to one
+    partition and the whole hashing stage runs single-threaded
+    (measured 5.4s -> sub-second at sf0.1 with width=32).  An explicit
+    repartition(width, id_cols) pins the stage width; the groupBy
+    reuses that clustering (ClusteredDistribution is number-agnostic),
+    so it costs no extra exchange beyond the small re-spread itself.
     """
     if width:
         shingles = shingles.repartition(width, *[F.col(c) for c in id_cols])
+    consts = minhash_affine_consts(n_hashes)
+    base = minhash_base(F.col("shingle"))
     aggs = [
-        F.min(seeded_md5(F.col("shingle"), s)).alias(f"h{s}") for s in range(n_hashes)
+        F.min((base * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{s}")
+        for s, (a, b) in enumerate(consts)
     ]
     return shingles.groupBy(*id_cols).agg(*aggs)
 
@@ -126,7 +165,10 @@ def lsh_bands(
     """Banded signatures: (id, band, sig) — join key for candidate pairs."""
     band_cols = []
     for b in range(bands):
-        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        hs = [
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("#", *hs).alias("sig")))
     return signatures.select(
         *id_cols, F.explode(F.array(*band_cols)).alias("bs")

@@ -670,13 +670,16 @@ def q_kg_components(spark, sf_dir):
 
 
 def _sql_minhash_cte(src_cte: str) -> str:
-    """Shared SQL: word-3gram shingles + 16 seeded-md5 minhashes + 8
-    bands over ``{src_cte}`` providing (id, text)."""
+    """Shared SQL: word-3gram shingles + 16 affine-family minhashes
+    (one md5 base per shingle — hashing.minhash_affine_consts mirror)
+    + 8 bands over ``{src_cte}`` providing (id, text)."""
+    consts = hashing.minhash_affine_consts(16)
     mins = ", ".join(
-        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(16)
+        f"min((hb * {a} + {b}) % {hashing.MINHASH_P}) AS h{s}"
+        for s, (a, b) in enumerate(consts)
     )
     bands = " UNION ALL ".join(
-        f"SELECT id, {b} AS band, h{2 * b} || '#' || h{2 * b + 1} AS sig FROM hs"
+        f"SELECT id, {b} AS band, CAST(h{2 * b} AS VARCHAR) || '#' || CAST(h{2 * b + 1} AS VARCHAR) AS sig FROM hs"
         for b in range(8)
     )
     return f"""
@@ -693,7 +696,10 @@ dsh AS (
         FROM dtok)
   WHERE w2 IS NOT NULL
 ),
-hs AS (SELECT id, {mins} FROM dsh GROUP BY id),
+dhb AS (
+  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hb FROM dsh
+),
+hs AS (SELECT id, {mins} FROM dhb GROUP BY id),
 bands AS ({bands}),
 pairs AS (
   SELECT DISTINCT x.id AS a, y.id AS b
