@@ -1355,6 +1355,127 @@ SELECT CAST(-1 AS BIGINT), CAST(sum(n_tokens) AS INTEGER), CAST(sum(n_subwords) 
 FROM per"""
 
 
+REP_CHUNK = 5
+
+
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition quality signals (the Gopher/C4-style
+    duplicate-line filters, adapted to this corpus's flat word streams:
+    a 'line' is a consecutive REP_CHUNK-word chunk).  Per doc: chunk
+    count, distinct chunks, duplicate-chunk ratio, and the repeat count
+    of the most-repeated chunk — the signals a corpus keep/drop rule
+    thresholds on.  One explode + two partial-aggregable shuffles; the
+    chunking itself is pure array expressions (no Python)."""
+    d = load(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_chunks = F.floor(F.size(arr) / REP_CHUNK).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(arr, (i - 1) * REP_CHUNK + 1, REP_CHUNK)),
+    )
+    per_chunk = (
+        d.select("doc_id", F.explode(chunks).alias("chunk"))
+        .groupBy("doc_id", "chunk")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_chunk.groupBy("doc_id").agg(
+        F.sum("n").cast("int").alias("n_chunks"),
+        F.count("*").cast("int").alias("n_distinct"),
+        F.round(1 - F.count("*") / F.sum("n"), 4).alias("dup_ratio"),
+        F.max("n").cast("int").alias("max_repeat"),
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS arr,
+         CAST(floor(len(string_split(text, ' ')) / {REP_CHUNK}) AS INTEGER) AS nc
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         array_to_string(arr[(i - 1) * {REP_CHUNK} + 1 : (i - 1) * {REP_CHUNK} + {REP_CHUNK}], ' ') AS chunk
+  FROM t, unnest(generate_series(1, nc)) AS u(i)
+),
+pc AS (SELECT doc_id, chunk, count(*) AS n FROM ch GROUP BY doc_id, chunk)
+SELECT doc_id,
+       CAST(sum(n) AS INTEGER) AS n_chunks,
+       CAST(count(*) AS INTEGER) AS n_distinct,
+       round(1 - count(*) / sum(n), 4) AS dup_ratio,
+       CAST(max(n) AS INTEGER) AS max_repeat
+FROM pc GROUP BY doc_id"""
+
+
+_URL_RE = r"(?i:https?)://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~/%-]*)?(?:\?[A-Za-z0-9=&_-]*)?"
+
+
+def q_text_urls(spark, sf_dir):
+    """URL extraction + normalization (corpus provenance / URL-level
+    dedup prep): deterministic injected URLs (the corpus text has
+    none), regexp_extract_all with a Java/RE2-identical pattern, then
+    normalize — lowercase scheme+host, strip the query string — and
+    count per normalized URL.  The Spark and SQL sides share the
+    injection, extraction, and normalization expressions exactly."""
+    d = load(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "aug_text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see HTTPS://Docs.Example.COM/guide/p"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit("?utm_source=x&ref=y"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" at http://cdn"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.net/a_b/c.html"),
+                ),
+            )
+            .otherwise(F.lit(" no link here")),
+        ),
+    )
+    urls = aug.select(
+        "doc_id", F.explode(F.regexp_extract_all("aug_text", F.lit(_URL_RE), 0)).alias("url")
+    )
+    norm = urls.select(
+        F.concat(
+            F.lower(F.regexp_extract("url", r"^((?i:https?)://[A-Za-z0-9.-]+)", 1)),
+            F.regexp_extract("url", r"^(?i:https?)://[A-Za-z0-9.-]+([^?]*)", 1),
+        ).alias("url_norm")
+    )
+    return (
+        norm.groupBy("url_norm")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+SQL_TEXT_URLS = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN ' see HTTPS://Docs.Example.COM/guide/p' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&ref=y'
+           WHEN 1 THEN ' at http://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/a_b/c.html'
+           ELSE ' no link here'
+         END AS aug_text
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(aug_text, '{_URL_RE}')) AS url FROM aug
+),
+n AS (
+  SELECT lower(regexp_extract(url, '^((?i:https?)://[A-Za-z0-9.-]+)', 1))
+         || regexp_extract(url, '^(?i:https?)://[A-Za-z0-9.-]+([^?]*)', 1) AS url_norm
+  FROM u
+)
+SELECT url_norm, CAST(count(*) AS BIGINT) AS n_docs FROM n GROUP BY url_norm"""
+
+
 def q_text_langid(spark, sf_dir):
     """Stopword-vote language id (deterministic heuristic; documents'
     synthetic text is English-ish so 'en' dominates — the point is the
@@ -3818,10 +3939,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_linked": (q_kg_linked, SQL_KG_LINKED),
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "text_urls": (q_text_urls, SQL_TEXT_URLS),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
@@ -3829,6 +3950,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
