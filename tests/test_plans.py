@@ -86,3 +86,32 @@ def test_hot_conversation_spreads_across_partitions(spark):
     )
     assert len(per_part) >= 8  # spread over many tasks, not one
     assert max(r["count"] for r in per_part) < 8000 * 0.5  # no single-task pileup
+
+
+def test_r4_text_queries_are_python_free(spark, sf_dir):
+    """text_repetition / text_urls / text_pii_scrub / text_subword_counts
+    must stay whole-stage-codegen expression pipelines — no Python
+    boundary anywhere in the hot path."""
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    for name in (
+        "text_repetition",
+        "text_urls",
+        "text_pii_scrub",
+        "text_subword_counts",
+    ):
+        nodes = nodes_of(plan_of(QUERIES[name][0](spark, sf_dir)))
+        assert "MapInPandas" not in nodes and "BatchEvalPython" not in nodes, name
+        assert "ArrowEvalPython" not in nodes, name
+
+
+def test_mm_resize_prunes_scan_to_payload_cols(spark, sf_dir):
+    """The resize operator's Arrow boundary must see only the three
+    asset columns; lang/source/n_chars must be pruned at the scan."""
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    plan = plan_of(QUERIES["mm_resize"][0](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"doc_id", "text"}, read_cols
