@@ -3720,6 +3720,68 @@ SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
 FROM events"""
 
 
+def q_stream_idempotent_sink(spark, sf_dir):
+    """EXACTLY-ONCE file sink on at-least-once batch replay
+    (streaming/ingest.idempotent_parquet_sink): the events stream
+    drains through foreachBatch into per-epoch overwrite-mode
+    directories (multi-file source + maxFilesPerTrigger=2 → several
+    micro-batches, so the epoch layout is actually exercised), then
+    one epoch is REPLAYED through the same writer — the duplication
+    window Structured Streaming leaves open between sink commit and
+    checkpoint commit — and the read-back union of epochs must still
+    equal the batch table exactly (the DuckDB oracle).  An append-mode
+    sink would hold a second copy of the replayed batch here."""
+    import glob
+    import tempfile
+    import uuid
+
+    from arabicner_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="arabicner_sink_src_")
+    out = tempfile.mkdtemp(prefix="arabicner_sink_out_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, cents bigint"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sink = ingest.idempotent_parquet_sink(
+        stream, out, ["event_id", "user_id", "event_type", "cents"]
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="arabicner_sink_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # simulate the replay: re-run the writer for an existing epoch with
+    # the same rows — overwrite semantics must leave the table unchanged
+    epochs = sorted(glob.glob(f"{out}/__epoch=*"))
+    # localCheckpoint decouples the replay rows from the files the
+    # writer is about to overwrite (lazy read + overwrite of the same
+    # path would otherwise race itself)
+    replay_df = spark.read.parquet(epochs[0]).localCheckpoint(eager=True)
+    sink(replay_df, int(epochs[0].rsplit("=", 1)[1]))
+    return spark.read.parquet(f"{out}/__epoch=*")
+
+
+SQL_STREAM_IDEMPOTENT_SINK = """
+SELECT event_id, user_id, event_type,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events"""
+
+
 def q_rel_gap_fill(spark, sf_dir):
     """Time-series gap filling with forward fill (LOCF): a dense
     per-user hourly grid over the first 72 hours (sequence + explode —
@@ -3938,7 +4000,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_linked": (q_kg_linked, SQL_KG_LINKED),
-    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
@@ -3956,6 +4018,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
     "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
+    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
     "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
     "kg_top_surfaces": (q_kg_top_surfaces, SQL_KG_TOP_SURFACES),
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),

@@ -176,6 +176,33 @@ def dedup_within_watermark(
     )
 
 
+def idempotent_parquet_sink(
+    stream: DataFrame, out_dir: str, key_cols
+) -> "callable":
+    """foreachBatch writer with EXACTLY-ONCE table semantics on top of
+    Structured Streaming's at-least-once batch replay: each micro-batch
+    lands in a partition directory keyed by its epoch id
+    (``__epoch=<id>``), written with overwrite mode — a replayed batch
+    (failure between sink commit and checkpoint commit, the classic
+    duplication window) overwrites its own directory instead of
+    appending a second copy.  Readers see every epoch exactly once.
+
+    This is the pattern a production pipeline uses for file/Iceberg
+    sinks; with Iceberg the epoch id goes into a snapshot property and
+    replay becomes a no-op commit.  Returns the foreachBatch function
+    (attach with ``.writeStream.foreachBatch(...)``).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(*key_cols)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/__epoch={epoch_id}")
+        )
+
+    return write_batch
+
+
 def mention_rate(mentions_stream: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked windowed mention counts per type (late data: 2 min)."""
     return (

@@ -209,3 +209,31 @@ def test_streaming_state_survives_restart(spark, tmp_path):
     assert drop(0, 6) == {"c0": 3, "c1": 3}
     # 3+2 per conv: state restored from checkpoint, old files not replayed
     assert drop(100, 4) == {"c0": 5, "c1": 5}
+
+
+def test_idempotent_sink_replay_safe(spark, tmp_path):
+    """Replaying an epoch through idempotent_parquet_sink leaves the
+    table unchanged; the same replay through a naive append sink
+    duplicates the batch — the exact failure window the pattern
+    closes."""
+    import glob
+
+    from arabicner_spark.streaming.ingest import idempotent_parquet_sink
+
+    df = spark.range(100).selectExpr("id AS event_id", "id % 7 AS user_id")
+    out = str(tmp_path / "idem")
+    sink = idempotent_parquet_sink(df, out, ["event_id", "user_id"])
+    sink(df, 0)
+    sink(df.where("event_id >= 50"), 1)
+    assert spark.read.parquet(f"{out}/__epoch=*").count() == 150
+    # replay epoch 1 (at-least-once delivery) -> no change
+    sink(df.where("event_id >= 50"), 1)
+    assert spark.read.parquet(f"{out}/__epoch=*").count() == 150
+    assert len(glob.glob(f"{out}/__epoch=*")) == 2
+
+    # control: naive append duplicates the replayed batch
+    naive = str(tmp_path / "naive")
+    df.write.mode("append").parquet(naive)
+    df.where("event_id >= 50").write.mode("append").parquet(naive)
+    df.where("event_id >= 50").write.mode("append").parquet(naive)  # replay
+    assert spark.read.parquet(naive).count() == 200  # 50 rows doubled
