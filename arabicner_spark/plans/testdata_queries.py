@@ -623,6 +623,37 @@ SELECT conv_id, count(*) AS n_turns,
 FROM t GROUP BY conv_id"""
 
 
+def q_kg_conv_profile(spark, sf_dir):
+    """Order-sensitive per-conversation features through the plain
+    grouped-map Arrow shape (operators/convstats.conv_profiles —
+    groupBy(conv_id).applyInPandas): role-path signature, longest
+    same-role run, and an order-pinning md5 of the turn texts.  The
+    oracle rebuilds all three in SQL (ordered string_agg +
+    gaps-and-islands for the run length), so even the grouped-map UDF
+    path gets exact value-hash parity."""
+    from arabicner_spark.operators.convstats import conv_profiles
+
+    return conv_profiles(transcripts(spark, sf_dir))
+
+
+SQL_KG_CONV_PROFILE = f"""WITH {_SQL_T},
+runs AS (
+  SELECT conv_id, role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx) AS grp
+  FROM t
+),
+runlen AS (
+  SELECT conv_id, count(*) AS rl FROM runs GROUP BY conv_id, role, grp
+)
+SELECT t.conv_id,
+       CAST(count(*) AS INTEGER) AS n_turns,
+       string_agg(substr(coalesce(role, '?'), 1, 1), '' ORDER BY turn_idx) AS role_path,
+       CAST((SELECT max(rl) FROM runlen r WHERE r.conv_id = t.conv_id) AS INTEGER) AS longest_run,
+       md5(string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx)) AS conv_md5
+FROM t GROUP BY t.conv_id"""
+
+
 def _exact_group_reps(d):
     """(reps, star) for exact-text dedup-before-LSH.
 
@@ -4007,9 +4038,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_urls": (q_text_urls, SQL_TEXT_URLS),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
-    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
