@@ -1833,6 +1833,37 @@ SAMPLE_SEED = 7
 SAMPLE_HEX_CUT = "33333333"  # ~20% of the md5 space
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (training-data mixing by
+    quality weight) via priority sampling
+    (functions/sampling.weighted_sample): q = w / md5-uniform, top-200.
+    One division — IEEE-correctly-rounded, so unlike pow/log-based
+    exponential keys the priorities are bit-identical in DuckDB and the
+    selected SET value-hashes exactly.  Weight = n_chars (longer docs
+    proportionally likelier).  Plans as TakeOrderedAndProject (map-side
+    partial top-k)."""
+    from arabicner_spark.functions.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return weighted_sample(d, "doc_id", "n_chars", k=200, seed=SAMPLE_SEED).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("priority", 4).alias("priority"),
+    )
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH p AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(n_chars AS DOUBLE) /
+         ((CAST(('0x' || substr(md5('{SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::DOUBLE + 1)
+          / {float(16 ** 15)}) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(priority, 4) AS priority
+FROM p ORDER BY priority DESC, doc_id ASC LIMIT 200"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash sampling (~20%) reported per language
     stratum: sampled iff the first 8 hex chars of md5(seed|doc_id)
@@ -4039,6 +4070,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
