@@ -1833,6 +1833,45 @@ SAMPLE_SEED = 7
 SAMPLE_HEX_CUT = "33333333"  # ~20% of the md5 space
 
 
+def q_compact_roundtrip(spark, sf_dir):
+    """Compaction under the oracle gate
+    (operators/compact.compact_by_range): the events table is first
+    fragmented into many small files (the operational problem), then
+    compacted into 4 range-clustered files on (user_id, ts); the gate
+    pins (a) LOSSLESSNESS — the compacted rows value-hash against the
+    raw table — and (b) the layout, via a file_idx column derived from
+    each row's range partition: within the returned rows every file
+    holds a contiguous, non-overlapping user_id range (asserted
+    separately in tests/test_compaction.py; here the per-row count per
+    file crossing the gate keeps the file assignment deterministic
+    only where it is — so the gate output drops file_idx and pins the
+    row SET, which is the compaction contract)."""
+    import tempfile
+
+    from arabicner_spark.operators.compact import compact_by_range
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    frag = tempfile.mkdtemp(prefix="arabicner_frag_")
+    out = tempfile.mkdtemp(prefix="arabicner_compact_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)  # the small-file mess
+    small = spark.read.parquet(frag)
+    compact_by_range(small, out, ["user_id", "ts_us"], n_files=4)
+    return spark.read.parquet(out)
+
+
+SQL_COMPACT_ROUNDTRIP = """
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) AS ts_us,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events"""
+
+
 def q_sample_weighted(spark, sf_dir):
     """Weighted sampling WITHOUT replacement (training-data mixing by
     quality weight) via priority sampling
@@ -4065,9 +4104,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
     "text_urls": (q_text_urls, SQL_TEXT_URLS),
-    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
@@ -4076,6 +4115,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
