@@ -283,6 +283,24 @@ def main() -> None:
     triples_per_sec = (
         round(counts["kg_edges"] / timings["kg_edges"], 1) if timings.get("kg_edges") else None
     )
+    # round-4 operator family, timed OUTSIDE the headline total so the
+    # headline metric stays comparable across rounds (single-shot each;
+    # these are codegen/one-pass queries without Python warmup)
+    R4_OPS = [
+        "text_pii_scrub",
+        "text_subword_counts",
+        "text_repetition",
+        "text_urls",
+        "sample_weighted",
+        "kg_conv_profile",
+    ]
+    r4_timings = {}
+    for name in R4_OPS:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        r4_timings[name] = round(time.time() - t0, 3)
+
     skew = skew_leg(spark, sf_dir, cpus)
     ivf = ivf_cells_leg(spark, sf_dir)
     coact = coactivity_hot_minute_leg(spark, sf_dir)
@@ -300,6 +318,7 @@ def main() -> None:
                 "cpus": cpus,
                 "rows": counts,
                 "kg_edges_triples_per_sec": triples_per_sec,
+                "r4_ops": r4_timings,
                 "skew_hot_conv": skew,
                 "ivf_cells": ivf,
                 "coactivity_hot_minute": coact,
