@@ -1872,6 +1872,40 @@ SELECT event_id, user_id, event_type,
 FROM events"""
 
 
+def q_split_three_way(spark, sf_dir):
+    """Deterministic train/dev/test split (sources/process.split_by_hash
+    — the oracle-checkable counterpart of the reference's seeded
+    shuffle split, arabiner/bin/process.py:66-84): 80/10/10 md5-bucket
+    cut on doc_id, summarized per split as (count, id-set md5) so the
+    gate pins the exact MEMBERSHIP of each split, not just its size —
+    the invariant a resumable pipeline needs (a re-run must never move
+    a document between splits)."""
+    from arabicner_spark.sources.process import split_by_hash
+
+    d = split_by_hash(load(spark, sf_dir, "documents"), "doc_id", seed=1)
+    ids_sig = F.md5(
+        F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string"))))
+    )
+    return d.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"), ids_sig.alias("ids_md5")
+    )
+
+
+SQL_SPLIT_THREE_WAY = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN b < 52428 THEN 'train'
+              WHEN b < 58982 THEN 'dev'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5('1|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+        FROM documents)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+FROM s GROUP BY split"""
+
+
 def q_sample_weighted(spark, sf_dir):
     """Weighted sampling WITHOUT replacement (training-data mixing by
     quality weight) via priority sampling
@@ -4139,6 +4173,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

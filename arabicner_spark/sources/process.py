@@ -75,3 +75,38 @@ def train_dev_test_split(
     test_ratio = 1.0 - train_ratio - dev_ratio
     train, dev, test = segments.randomSplit([train_ratio, dev_ratio, test_ratio], seed)
     return train, dev, test
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 1,
+    train_pct: int = 80,
+    dev_pct: int = 10,
+) -> DataFrame:
+    """Deterministic 3-way split: appends a ``split`` column
+    ('train'/'dev'/'test') from a seeded-md5 hex cut on ``id_col``.
+
+    The engine-independent alternative to randomSplit (reference:
+    arabiner/bin/process.py:66-84 seeds a shuffle — same intent, but
+    Spark's randomSplit depends on partitioning and JVM RNG, so it can
+    neither be oracle-checked nor survive a repartition unchanged).
+    The md5 cut is a pure function of the row id: stable across
+    resume, partitioning, cluster size, and engines — the property a
+    100-TB pipeline needs so a re-run never silently moves a document
+    from train to test.  Cut points use the first 4 md5 nibbles
+    (65,536 buckets): bucket < 655.36*train_pct -> train, etc.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    t_cut = 65536 * train_pct // 100
+    d_cut = 65536 * (train_pct + dev_pct) // 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_cut, "train")
+        .when(bucket < d_cut, "dev")
+        .otherwise("test"),
+    )
