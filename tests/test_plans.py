@@ -115,3 +115,20 @@ def test_mm_resize_prunes_scan_to_payload_cols(spark, sf_dir):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert read_cols == {"doc_id", "text"}, read_cols
+
+
+def test_pin_width_respects_shuffle_partitions(spark):
+    """r3 ADVICE item 5: the explicit width pin must never be NARROWER
+    than the configured shuffle width — it replaces the AQE-sized
+    exchange, so a bare-defaultParallelism pin would cap compute-bound
+    stages at core count on arbitrarily large inputs."""
+    from arabicner_spark.plans.testdata_queries import pin_width
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "400")
+        assert pin_width(spark) == 400
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        assert pin_width(spark) == spark.sparkContext.defaultParallelism
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
