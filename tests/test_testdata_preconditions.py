@@ -45,3 +45,42 @@ def test_documents_satisfy_bio_oracle_preconditions(sf_dir):
         if int(tagcore.subword_lengths(t.split()).sum()) > budget
     ]
     assert not over, f"docs over the {budget}-subword budget get truncated: {over[:3]}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_r4_injected_branches_stay_live(sf_dir):
+    """The r4 queries inject synthetic PII/URLs because the corpus has
+    none; every injected class must actually FIRE, or a scrub/extract
+    branch silently becomes dead weight in the gate (caught live in r4:
+    n_num == 0 with an empty else-branch; uppercase-HTTPS never
+    matching a case-sensitive pattern)."""
+    import duckdb
+
+    from arabicner_spark.plans.testdata_queries import (
+        SQL_TEXT_PII_SCRUB,
+        SQL_TEXT_URLS,
+        SQL_SPLIT_THREE_WAY,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    e, ip, ph, num = con.execute(
+        f"SELECT sum(n_email), sum(n_ip), sum(n_phone), sum(n_num) FROM ({SQL_TEXT_PII_SCRUB})"
+    ).fetchone()
+    assert min(e, ip, ph, num) > 0, (e, ip, ph, num)
+
+    urls = dict(
+        con.execute(
+            f"SELECT CASE WHEN url_norm LIKE 'https://docs.example.com%' THEN 'up' ELSE 'low' END, count(*) "
+            f"FROM ({SQL_TEXT_URLS}) GROUP BY 1"
+        ).fetchall()
+    )
+    # both the uppercase-normalized and the already-lowercase branches live
+    assert urls.get("up", 0) > 0 and urls.get("low", 0) > 0, urls
+
+    splits = dict(
+        con.execute(f"SELECT split, n_docs FROM ({SQL_SPLIT_THREE_WAY})").fetchall()
+    )
+    assert set(splits) == {"train", "dev", "test"} and min(splits.values()) > 0, splits
