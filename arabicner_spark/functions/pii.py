@@ -41,8 +41,10 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``scrubbed`` plus one ``n_<class>`` INT count column per
     PII class.  Counts are taken on the progressively-scrubbed text
     (priority order above), matching what the replacement actually
-    redacted."""
-    cur: Column = F.col(text_col)
+    redacted.  NULL text is treated as empty (0 counts, '' scrubbed) —
+    NULL propagation would silently drop rows from downstream count
+    aggregates."""
+    cur: Column = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for name, pat, tok in PII_CLASSES:
         counts.append(

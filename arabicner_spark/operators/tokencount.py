@@ -48,9 +48,13 @@ def subword_counts_expr(
     text_col: str = "text",
     max_seq_len: int = tagcore.DEFAULT_MAX_SEQ_LEN,
 ) -> DataFrame:
-    """-> (id, n_tokens, n_subwords, n_kept, n_taggable), codegen-only."""
+    """-> (id, n_tokens, n_subwords, n_kept, n_taggable), codegen-only.
+
+    NULL text counts as empty — one empty token, one subword — matching
+    the mapInPandas twin's ``None -> ""`` rule (least/size on NULL would
+    otherwise produce an inconsistent NULL/510 row)."""
     budget = max_seq_len - 2
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     pieces = F.transform(toks, _piece_count)
     # one fold, struct accumulator: cum = subwords so far, tag = tokens
     # whose FIRST subword index (= cum before adding) is inside budget

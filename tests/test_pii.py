@@ -66,3 +66,11 @@ def test_pii_sql_mirror_matches_spark(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_pii_null_text_counts_zero(spark):
+    df = spark.createDataFrame([(1, None), (2, "x 42")], "id int, text string")
+    out = {r.id: r for r in scrub_pii(df, "text").collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone, out[1].n_num) == (0, 0, 0, 0)
+    assert out[1].scrubbed == ""
+    assert out[2].n_num == 1

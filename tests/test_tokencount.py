@@ -43,3 +43,11 @@ def test_expr_path_has_no_python(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     plan = subword_counts_expr(df)._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_null_text_consistent_between_paths(spark):
+    df = spark.createDataFrame([(1, None), (2, "ab cd")], "doc_id bigint, text string")
+    a = _rows(subword_counts_expr(df))
+    b = _rows(subword_counts(df))
+    assert a == b
+    assert a[1] == (1, 1, 1, 1)  # NULL -> "" -> one empty token, one piece
