@@ -1906,6 +1906,47 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY split"""
 
 
+PACK_CHUNK = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    """LLM sequence packing (concat-and-chunk) over the corpus's
+    subword lengths (operators/pack.pack_sequences): every document's
+    global token offset and chunk span under concatenation in doc_id
+    order.  The Spark side runs the SCALABLE two-pass distributed
+    prefix sum (range partitions + per-partition cumsum + broadcast
+    base offsets — no single-partition Window anywhere); the oracle is
+    the serial one-window cumsum, so the value-hash proves the
+    distributed decomposition exactly reproduces the serial scan."""
+    from arabicner_spark.operators.pack import pack_sequences
+    from arabicner_spark.operators.tokencount import subword_counts_expr
+
+    d = load(spark, sf_dir, "documents")
+    lens = subword_counts_expr(d, "doc_id", "text").select("doc_id", "n_subwords")
+    return pack_sequences(
+        lens, "doc_id", "n_subwords", chunk=PACK_CHUNK, width=pin_width(spark)
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH tok AS (
+  SELECT doc_id,
+         greatest(1, (length(unnest(string_split(text, ' '))) + 3) // 4) AS sl
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(sum(sl) AS BIGINT) AS len FROM tok GROUP BY doc_id),
+c AS (
+  SELECT doc_id, len,
+         CAST(sum(len) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS BIGINT) AS tok_start
+  FROM lens
+)
+SELECT doc_id, len, tok_start,
+       CAST(tok_start // {PACK_CHUNK} AS BIGINT) AS chunk_start,
+       CAST((tok_start + greatest(len - 1, 0)) // {PACK_CHUNK} AS BIGINT) AS chunk_end,
+       CAST(tok_start % {PACK_CHUNK} AS BIGINT) AS offset_in_chunk
+FROM c"""
+
+
 def q_sample_weighted(spark, sf_dir):
     """Weighted sampling WITHOUT replacement (training-data mixing by
     quality weight) via priority sampling
@@ -4163,6 +4204,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_meta": (q_mm_meta, SQL_MM_META),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "rel_cube": (q_rel_cube, SQL_REL_CUBE),
     "rel_customers_no_orders": (q_rel_customers_no_orders, SQL_REL_NO_ORDERS),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
