@@ -1,0 +1,134 @@
+"""Incremental deduplication: fold a NEW batch of documents into an
+existing dedup state without re-shingling or re-hashing the old corpus
+— the operational shape of dedup at 100 TB, where the corpus grows
+daily and "recompute everything" is a non-starter.
+
+State kept from the previous run (all compact relative to the corpus):
+  * hashes(h, rep)        — exact-text md5 -> group-min rep id
+  * bands(id, band, sig)  — LSH band table of the exact-group REPS
+  * comp(node, keep)      — final keep/drop decision per doc
+
+Incremental step for a new batch:
+  1. exact: md5 new texts; texts seen before attach to the stored rep
+     (one hash join); unseen texts form new exact groups (one groupBy).
+  2. LSH: shingle + minhash ONLY the new unseen-text reps; candidate
+     pairs = new-bands x old-bands (band equi-join) + new-bands self
+     pairs.  Old x old pairs are NOT recomputed — they are already
+     folded into comp.
+  3. connectivity: old components enter as COMPRESSED star edges
+     (keep -> node), so merges that a bridging new document causes
+     (new doc near-dup of two different old clusters) still happen;
+     the expensive per-document work (tokenize/shingle/16 hashes) is
+     what's skipped, not correctness.
+
+EXACTNESS CONTRACT (gated): when new ids sort after old ids (the
+monotone-id ingest reality), the result is IDENTICAL to a full batch
+recompute over old+new — the oracle for the gate query is literally
+the full-corpus dedup SQL.  Star-compression preserves old
+connectivity exactly, and identical texts produce identical shingles,
+so band tables built from either group representative agree.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arabicner_spark.functions import hashing
+from arabicner_spark.operators.components import connected_components_adaptive
+
+
+def dedup_state(docs: DataFrame, width: int | None = None) -> Dict[str, DataFrame]:
+    """Full run over ``docs`` (id string, text) -> state dict
+    {hashes, bands, comp} + the keep/drop table under 'decision'."""
+    g = docs.groupBy(hashing.md5_utf8(F.col("text")).alias("h")).agg(
+        F.min("id").alias("rep"),
+        F.min("text").alias("text"),
+        F.collect_set("id").alias("ids"),
+    )
+    hashes = g.select("h", "rep").localCheckpoint(eager=True)
+    star = g.select(
+        F.col("rep").alias("a"), F.explode("ids").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    reps = g.select(F.col("rep").alias("id"), "text")
+    sh = hashing.word_shingles(reps, ["id"], "text", n=3, width=width)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16, width=width)
+    bands = hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2).localCheckpoint(
+        eager=True
+    )
+    near = hashing.lsh_candidate_pairs(bands, "id")
+    cc = connected_components_adaptive(star.unionByName(near))
+    decision = (
+        docs.select(F.col("id").alias("node"))
+        .join(cc, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("keep"))
+        .localCheckpoint(eager=True)
+    )
+    return {"hashes": hashes, "bands": bands, "comp": decision, "decision": decision}
+
+
+def dedup_incremental(
+    state: Dict[str, DataFrame], new_docs: DataFrame, width: int | None = None
+) -> Dict[str, DataFrame]:
+    """Fold ``new_docs`` (id string, text; ids sort after the state's)
+    into ``state``; returns the updated state (same keys) whose
+    'decision' covers old + new documents exactly as a full recompute
+    would."""
+    nh = new_docs.select(
+        "id", "text", hashing.md5_utf8(F.col("text")).alias("h")
+    )
+    seen = nh.join(state["hashes"], "h", "inner")
+    seen_edges = seen.select(F.col("rep").alias("a"), F.col("id").alias("b"))
+
+    unseen = nh.join(state["hashes"], "h", "left_anti")
+    g = unseen.groupBy("h").agg(
+        F.min("id").alias("rep"),
+        F.min("text").alias("text"),
+        F.collect_set("id").alias("ids"),
+    )
+    new_star = g.select(
+        F.col("rep").alias("a"), F.explode("ids").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    new_reps = g.select(F.col("rep").alias("id"), "text")
+
+    sh = hashing.word_shingles(new_reps, ["id"], "text", n=3, width=width)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16, width=width)
+    new_bands = hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2).localCheckpoint(
+        eager=True
+    )
+    # new x old candidates: one equi-join on the band key
+    cross = (
+        new_bands.select("band", "sig", F.col("id").alias("b"))
+        .join(
+            state["bands"].select("band", "sig", F.col("id").alias("a")),
+            ["band", "sig"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    # new x new candidates
+    nn = hashing.lsh_candidate_pairs(new_bands, "id")
+    # old connectivity, star-compressed (keep -> node)
+    old_star = state["comp"].where(F.col("node") != F.col("keep")).select(
+        F.col("keep").alias("a"), F.col("node").alias("b")
+    )
+    edges = old_star.unionByName(seen_edges).unionByName(new_star).unionByName(
+        cross
+    ).unionByName(nn)
+    cc = connected_components_adaptive(edges)
+    all_nodes = state["comp"].select("node").unionByName(
+        new_docs.select(F.col("id").alias("node"))
+    )
+    decision = (
+        all_nodes.join(cc, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("keep"))
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "hashes": state["hashes"].unionByName(g.select("h", "rep")),
+        "bands": state["bands"].unionByName(new_bands),
+        "comp": decision,
+        "decision": decision,
+    }

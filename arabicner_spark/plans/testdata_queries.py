@@ -1906,6 +1906,37 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY split"""
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup == full recompute, proven by the gate
+    (operators/incremental): documents are split even/odd by doc_id;
+    the even half runs the full dedup_state pipeline, then the odd half
+    folds in through dedup_incremental — exact-hash join against
+    stored text hashes, shingle/minhash of NEW unseen texts only,
+    band-join against the STORED band table, old connectivity entering
+    as compressed star edges.  The oracle is the unchanged FULL-CORPUS
+    survivors SQL, so the value hash literally proves the incremental
+    path reproduces the batch answer while skipping all per-document
+    work on the old half (the 100-TB operational requirement: a daily
+    batch must not re-shingle the corpus)."""
+    from arabicner_spark.operators.incremental import dedup_incremental, dedup_state
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "doc_id"
+    )
+    old = d.where(F.col("doc_id") % 2 == 0).select("id", "text")
+    new = d.where(F.col("doc_id") % 2 == 1).select("id", "text")
+    st = dedup_state(old, width=pin_width(spark))
+    st2 = dedup_incremental(st, new, width=pin_width(spark))
+    return st2["decision"].select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("keep").cast("bigint").alias("keep_doc"),
+    ).withColumn("is_survivor", F.col("doc_id") == F.col("keep_doc"))
+
+
+# oracle: the full-corpus batch answer — SQL_DEDUP_SURVIVORS is reused
+# verbatim at registration time (incremental must equal it exactly).
+
+
 PACK_CHUNK = 512
 
 
@@ -4192,6 +4223,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
