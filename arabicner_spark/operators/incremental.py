@@ -69,6 +69,44 @@ def dedup_state(docs: DataFrame, width: int | None = None) -> Dict[str, DataFram
     return {"hashes": hashes, "bands": bands, "comp": decision, "decision": decision}
 
 
+def save_state(state: Dict[str, DataFrame], prefix: str, buckets: int = 8) -> None:
+    """Persist the dedup state as BUCKETED tables (``<prefix>_hashes``
+    / ``_bands`` / ``_comp``), bucketed on each table's probe key —
+    ``bands`` on (band, sig), ``hashes`` on h, ``comp`` on node.
+
+    Bucketing is the durability + scale lever together: the daily
+    incremental fold probes the stored band table with the new batch's
+    band keys, and a bucketed stored side makes that join exchange-free
+    on the (large) stored side — only the small new batch shuffles
+    (write-time pre-shuffle, same mechanism test_storage_layout.py pins
+    for the warehouse tables).  This is the parquet-facade equivalent
+    of an Iceberg bucket-partitioned state table (sources/io.py)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = state["bands"].sparkSession
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, keys in (("hashes", ["h"]), ("bands", ["band", "sig"]), ("comp", ["node"])):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{name}")
+        # a previously-aborted write can leave the managed location
+        # behind after the metadata drop; saveAsTable then refuses
+        shutil.rmtree(f"{warehouse}/{prefix}_{name}", ignore_errors=True)
+        (
+            state[name]
+            .write.bucketBy(buckets, *keys)
+            .sortBy(*keys)
+            .mode("overwrite")
+            .saveAsTable(f"{prefix}_{name}")
+        )
+
+
+def load_state(spark, prefix: str) -> Dict[str, DataFrame]:
+    """Reload a persisted dedup state; ``decision`` aliases ``comp``."""
+    st = {name: spark.table(f"{prefix}_{name}") for name in ("hashes", "bands", "comp")}
+    st["decision"] = st["comp"]
+    return st
+
+
 def dedup_incremental(
     state: Dict[str, DataFrame], new_docs: DataFrame, width: int | None = None
 ) -> Dict[str, DataFrame]:
