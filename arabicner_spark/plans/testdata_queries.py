@@ -1202,6 +1202,147 @@ def ivf_ranked(e: DataFrame) -> DataFrame:
     return scored_c.withColumn("cr", F.row_number().over(w_assign))
 
 
+ANN_EVAL_K = 10
+
+
+def q_ann_recall(spark, sf_dir):
+    """Retrieval-quality metrics for the ANN index, IN the gate:
+    recall@10 and reciprocal rank of the IVF search against the
+    brute-force ground truth, per query plus a q=-1 corpus-mean row.
+    This turns index quality from a test-only property into an
+    oracle-gated number — the metric a 100-TB retrieval pipeline
+    monitors when it tunes nprobe/cells.  All ranking on round(cos,4)
+    with id tie-breaks, so both metric inputs are engine-exact."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with("vq", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nq = F.sqrt(F.aggregate("vq", F.lit(0.0), lambda a, x: a + x * x))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+
+    # ground truth: brute-force top-K for the 20 query vectors
+    qv = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("vq")
+    )
+    truth = (
+        F.broadcast(qv)
+        .crossJoin(e)
+        .where(F.col("q") != F.col("vec_id"))
+        .select("q", F.col("vec_id").alias("neighbor"), F.round(dot / (nq * nv), 4).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_EVAL_K)
+        .localCheckpoint(eager=True)
+    )
+
+    # approx: the IVF search (same structure as q_ann_ivf), top-K
+    ranked = ivf_ranked(e)
+    assigned = ranked.where(F.col("cr") == 1).select("vec_id", "v", F.col("cid").alias("cell"))
+    probes = ranked.where(
+        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("q"), F.col("v").alias("vq"), F.col("cid").alias("cell"))
+    approx = (
+        probes.join(assigned, "cell")
+        .where(F.col("q") != F.col("vec_id"))
+        .select("q", F.col("vec_id").alias("neighbor"), F.round(dot / (nq * nv), 4).alias("cos"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_EVAL_K)
+        .localCheckpoint(eager=True)
+    )
+
+    # left join + conditional count, NOT a semi join: a query with ZERO
+    # overlap must still appear with recall 0.0 — dropping it would
+    # silently inflate the corpus mean
+    hits = (
+        truth.join(
+            approx.select("q", "neighbor", F.lit(1).alias("__hit")),
+            ["q", "neighbor"],
+            "left",
+        )
+        .groupBy("q")
+        .agg(F.round(F.count("__hit") / ANN_EVAL_K, 4).alias("recall_at_k"))
+    )
+    rr = (
+        truth.where(F.col("rank") == 1)
+        .select("q", "neighbor")
+        .join(approx.select("q", "neighbor", F.col("rank").alias("arank")), ["q", "neighbor"], "left")
+        .select("q", F.round(F.coalesce(1 / F.col("arank"), F.lit(0.0)), 4).alias("rr"))
+    )
+    per_q = hits.join(rr, "q").select(F.col("q").cast("bigint").alias("q"), "recall_at_k", "rr")
+    summary = per_q.groupBy().agg(
+        F.lit(-1).cast("bigint").alias("q"),
+        F.round(F.avg("recall_at_k"), 4).alias("recall_at_k"),
+        F.round(F.avg("rr"), 4).alias("rr"),
+    ).select("q", "recall_at_k", "rr")
+    return per_q.unionByName(summary)
+
+
+SQL_ANN_RECALL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS q, v AS vq FROM e WHERE vec_id < 20),
+bscored AS (
+  SELECT qv.q, e.vec_id AS neighbor,
+         round(list_dot_product(qv.vq, e.v) /
+               (sqrt(list_dot_product(qv.vq, qv.vq)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+  FROM qv, e WHERE qv.q != e.vec_id
+),
+truth AS (
+  SELECT q, neighbor, rnk FROM (
+    SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rnk
+    FROM bscored) WHERE rnk <= {ANN_EVAL_K}
+),
+cents AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {IVF_CELLS}),
+scored_c AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.vc) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.vc, c.vc))), 4) AS sim
+  FROM e CROSS JOIN cents c
+),
+cranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS cr
+  FROM scored_c
+),
+assigned AS (SELECT vec_id, cid AS cell FROM cranked WHERE cr = 1),
+probes AS (SELECT vec_id AS q, cid AS cell FROM cranked
+           WHERE cr <= {IVF_NPROBE} AND vec_id < 20),
+cand AS (
+  SELECT DISTINCT p.q, a.vec_id AS neighbor
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q
+),
+ascored AS (
+  SELECT c.q, c.neighbor,
+         round(list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.q JOIN e y ON y.vec_id = c.neighbor
+),
+approx AS (
+  SELECT q, neighbor, rnk FROM (
+    SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rnk
+    FROM ascored) WHERE rnk <= {ANN_EVAL_K}
+),
+hits AS (
+  SELECT t.q, round(count(a.neighbor) / {ANN_EVAL_K}.0, 4) AS recall_at_k
+  FROM truth t LEFT JOIN approx a ON a.q = t.q AND a.neighbor = t.neighbor
+  GROUP BY t.q
+),
+rr AS (
+  SELECT t.q, round(coalesce(1.0 / a.rnk, 0.0), 4) AS rr
+  FROM truth t LEFT JOIN approx a ON a.q = t.q AND a.neighbor = t.neighbor
+  WHERE t.rnk = 1
+),
+per_q AS (
+  SELECT CAST(h.q AS BIGINT) AS q, h.recall_at_k, rr.rr
+  FROM hits h JOIN rr ON rr.q = h.q
+)
+SELECT q, recall_at_k, rr FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), round(avg(recall_at_k), 4), round(avg(rr), 4) FROM per_q"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-style ANN: a deterministic coarse quantizer (centroids = the
     first IVF_CELLS vectors), every vector assigned to its nearest
@@ -4218,6 +4359,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
