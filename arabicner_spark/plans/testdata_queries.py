@@ -1974,6 +1974,93 @@ SAMPLE_SEED = 7
 SAMPLE_HEX_CUT = "33333333"  # ~20% of the md5 space
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The ENTIRE training-data pipeline end-to-end under one oracle
+    (plans/corpus.run_corpus_pipeline): scrub -> subword scoring with a
+    quality floor -> dedup survivors -> weighted priority sample ->
+    hash split -> sequence packing of the train split, every stage
+    checkpointed/resumable through StageRunner exactly like the KG
+    dataflow.  The oracle chains the already-proven SQL mirrors of all
+    six stages into one statement, so the value hash pins the WHOLE
+    composition — stage boundaries, parquet round-trips, resume
+    machinery included — not just each operator in isolation."""
+    import tempfile
+
+    from arabicner_spark.plans.corpus import CorpusConfig, run_corpus_pipeline
+
+    d = load(spark, sf_dir, "documents")
+    cfg = CorpusConfig(sample_k=200, chunk=512, min_tokens=3, lsh_width=pin_width(spark))
+    out = run_corpus_pipeline(
+        spark, d, cfg, tempfile.mkdtemp(prefix="arabicner_corpus_"), run_id="gate"
+    )
+    return out["packed"]
+
+
+def _sql_corpus_pipeline() -> str:
+    from arabicner_spark.functions.pii import sql_scrub_exprs
+
+    scrub = sql_scrub_exprs("text")["scrubbed"]
+    frac = f"((CAST(('0x' || substr(md5('{SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::DOUBLE + 1) / {float(16 ** 15)})"
+    return f"""WITH RECURSIVE
+scr AS (SELECT doc_id, {scrub} AS scrubbed FROM documents),
+tok AS (
+  SELECT doc_id, CAST(generate_subscripts(string_split(scrubbed, ' '), 1) AS INTEGER) AS pos,
+         greatest(1, (length(unnest(string_split(scrubbed, ' '))) + 3) // 4) AS sl
+  FROM scr
+),
+lens AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+                CAST(sum(sl) AS BIGINT) AS n_subwords
+         FROM tok GROUP BY doc_id),
+scored AS (SELECT l.doc_id, s.scrubbed, l.n_subwords
+           FROM lens l JOIN scr s USING (doc_id) WHERE l.n_tokens >= 3),
+docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS id, scrubbed AS text FROM scored),
+{_sql_minhash_cte('docsrc')},
+exact AS (
+  SELECT min(id) AS a, unnest(list(id)) AS b FROM docsrc GROUP BY md5(text)
+),
+alledges AS (
+  SELECT a, b FROM exact WHERE a != b
+  UNION SELECT a, b FROM pairs
+),
+sym AS (SELECT a, b FROM alledges UNION SELECT b, a FROM alledges),
+reach(node, r) AS (
+  SELECT id, id FROM docsrc
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+kept AS (SELECT CAST(node AS BIGINT) AS doc_id FROM comp WHERE node = component),
+keptn AS (SELECT k.doc_id, s.n_subwords FROM kept k JOIN scored s USING (doc_id)),
+samp AS (
+  SELECT doc_id, n_subwords
+  FROM (SELECT doc_id, n_subwords,
+               CAST(n_subwords AS DOUBLE) / {frac} AS priority
+        FROM keptn)
+  ORDER BY priority DESC, doc_id ASC LIMIT 200
+),
+spl AS (
+  SELECT doc_id, n_subwords,
+         CASE WHEN b < 52428 THEN 'train' WHEN b < 58982 THEN 'dev' ELSE 'test' END AS split
+  FROM (SELECT doc_id, n_subwords,
+               CAST(('0x' || substr(md5('1|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+        FROM samp)
+),
+tr AS (SELECT doc_id, n_subwords AS len FROM spl WHERE split = 'train'),
+c AS (
+  SELECT doc_id, len,
+         CAST(sum(len) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS BIGINT) AS tok_start
+  FROM tr
+)
+SELECT doc_id, len, tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS chunk_start,
+       CAST((tok_start + greatest(len - 1, 0)) // 512 AS BIGINT) AS chunk_end,
+       CAST(tok_start % 512 AS BIGINT) AS offset_in_chunk
+FROM c"""
+
+
+SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
+
+
 def q_compact_roundtrip(spark, sf_dir):
     """Compaction under the oracle gate
     (operators/compact.compact_by_range): the events table is first
@@ -4363,6 +4450,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
