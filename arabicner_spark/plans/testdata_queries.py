@@ -398,6 +398,50 @@ SQL_KG_TRIPLES = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}
 SELECT subj, pred, obj, conv_id, turn_idx, subj_type, obj_type FROM tri"""
 
 
+def q_stream_kg_triples(spark, sf_dir):
+    """The flagship NER -> triples dataflow under STRUCTURED STREAMING
+    with the exactly-once sink: transcripts arrive as a multi-file
+    stream (maxFilesPerTrigger=2 → several real micro-batches), each
+    micro-batch runs the SAME batch operators (ner.extract_mentions ->
+    extract_triples — both per-turn, so file-boundary batching cannot
+    split a unit of work) inside foreachBatch, and lands in per-epoch
+    overwrite directories (streaming/ingest.idempotent_parquet_sink).
+    The union of epochs must equal the batch kg_triples oracle exactly
+    — proving the micro-batch decomposition and the replay-safe sink
+    change nothing about the KG the pipeline builds."""
+    import glob
+    import tempfile
+
+    from arabicner_spark import schemas
+    from arabicner_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="arabicner_skg_src_")
+    out = tempfile.mkdtemp(prefix="arabicner_skg_out_")
+    transcripts(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    gaz = gazetteer_dict_td()
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "subj_type", "obj_type"]
+
+    def process(batch_df, epoch_id):
+        m = ner.extract_mentions(batch_df, gaz)
+        t = triples_op.extract_triples(m, PREDS_TD, WINDOW_TD)
+        t.select(*cols).write.mode("overwrite").parquet(f"{out}/__epoch={epoch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="arabicner_skg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert glob.glob(f"{out}/__epoch=*"), "no epochs written"
+    return spark.read.parquet(f"{out}/__epoch=*").select(*cols)
+
+
 def q_kg_linked(spark, sf_dir):
     m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
     ab = best_alias(alias_df_td(spark))
@@ -4478,6 +4522,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
+    "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
