@@ -61,3 +61,54 @@ def weighted_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+HEX60 = float(16**_NIBBLES)  # 2^60 — exactly representable in a double
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    targets: dict,
+    k: int,
+    seed: int = 11,
+) -> DataFrame:
+    """Data MIXING: draw ~``k`` rows whose source composition follows
+    ``targets`` (source -> share, summing to 1) — the multi-source
+    mixture step of a training-data pipeline (web/code/chat/... blended
+    to a recipe).  Per source the keep rate is
+    ``min(1, share*k / size)`` and a row is kept iff its 60-bit seeded
+    md5 value falls below ``floor(rate * 2^60)`` — so membership is a
+    deterministic function of (id, seed, per-source sizes): stable
+    across runs, partitionings, resume, and engines.
+
+    Undersized sources saturate at rate 1 (you cannot oversample
+    without replacement); callers wanting exact-k combine this with a
+    top-k trim.  Cross-engine exactness: share*k is computed once in
+    Python (one double literal), the per-row math is one IEEE division,
+    one multiply by 2^60 (exact power of two), and one floor — every
+    step correctly rounded, so Spark and DuckDB agree bit-for-bit.
+
+    Scale: sizes = one map-side-combinable count agg (source cardinality
+    rows); the rate join broadcasts; the filter is a pure projection.
+    """
+    sizes = df.groupBy(source_col).agg(F.count("*").alias("_size"))
+    spark = df.sparkSession
+    desired = spark.createDataFrame(
+        [(s, float(share * k)) for s, share in targets.items()],
+        f"{source_col} string, _desired double",
+    )
+    rates = sizes.join(F.broadcast(desired), source_col)
+    thr = F.floor(
+        F.least(F.lit(1.0), F.col("_desired") / F.col("_size").cast("double"))
+        * F.lit(HEX60)
+    ).cast("long")
+    hash60 = F.conv(
+        F.substring(seeded_md5(F.col(id_col).cast("string"), seed), 1, _NIBBLES), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates.select(source_col, thr.alias("_thr"))), source_col)
+        .where(hash60 < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -308,3 +308,51 @@ def bfs_depths(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation, made
+    deterministic: labels start as the node id; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label.  Classic async LPA breaks ties randomly and
+    depends on visit order — useless under a value-hash gate; the
+    synchronous variant with a total tie order is a pure function of
+    the edge set, so the unrolled-CTE SQL oracle matches exactly.
+    Fixed round count (synchronous LPA can 2-cycle on bipartite
+    structures, so "until stable" is not well-defined anyway).
+
+    Scale shape per round: one join (adjacency x labels, keyed on the
+    node id) + one (node, label) count agg (map-side combinable) + one
+    max_by arg-max agg — no window, no per-node sort.  State is one
+    (node, label) row per node; localCheckpoint cuts lineage per round
+    like pagerank/components.
+    """
+    und = undirected_edges(edges, src, dst)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("peer"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("peer")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").cast("long").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("peer"), "label"), "peer"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        # arg-max by (n desc, label asc): max_by over (n, -label)
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("n"), (-F.col("label")).alias("negl"))
+            ).alias("label")
+        ).localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").cast("long").alias("label"))

@@ -81,16 +81,20 @@ def save_state(state: Dict[str, DataFrame], prefix: str, buckets: int = 8) -> No
     (write-time pre-shuffle, same mechanism test_storage_layout.py pins
     for the warehouse tables).  This is the parquet-facade equivalent
     of an Iceberg bucket-partitioned state table (sources/io.py)."""
-    import shutil
-    from urllib.parse import urlparse
-
     spark = state["bands"].sparkSession
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # Hadoop FileSystem API, not a local rmtree: the warehouse dir may
+    # be any scheme (file:, hdfs:, s3a:) and Path.getFileSystem picks
+    # the right implementation for each — a parsed-local-path delete
+    # silently no-ops on an object-store warehouse.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for name, keys in (("hashes", ["h"]), ("bands", ["band", "sig"]), ("comp", ["node"])):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{name}")
         # a previously-aborted write can leave the managed location
         # behind after the metadata drop; saveAsTable then refuses
-        shutil.rmtree(f"{warehouse}/{prefix}_{name}", ignore_errors=True)
+        loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{prefix}_{name}")
+        loc.getFileSystem(hconf).delete(loc, True)
         (
             state[name]
             .write.bucketBy(buckets, *keys)
@@ -170,3 +174,32 @@ def dedup_incremental(
         "comp": decision,
         "decision": decision,
     }
+
+
+def decision_delta(old_comp: DataFrame, new_decision: DataFrame) -> DataFrame:
+    """The rows a MERGE INTO the stored decision table would touch:
+    nodes absent from the old state (the new batch) plus old nodes
+    whose ``keep`` changed (a bridging new document merging two old
+    clusters re-keys every member of the losing cluster).
+
+    This is the daily-write shape at 100 TB: the full ``decision`` is
+    corpus-sized, but the day's churn is delta-sized — persist via
+    ``MERGE INTO comp USING delta ON comp.node = delta.node WHEN
+    MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` once the Iceberg
+    runtime lands (sources/io.py blocker note); on the parquet facade,
+    apply with :func:`apply_decision_delta`.  One left join on the
+    bucketed ``node`` key — exchange-free on the stored side."""
+    old = old_comp.select("node", F.col("keep").alias("old_keep"))
+    return (
+        new_decision.join(old, "node", "left")
+        .where(F.col("old_keep").isNull() | (F.col("old_keep") != F.col("keep")))
+        .select("node", "keep")
+    )
+
+
+def apply_decision_delta(old_comp: DataFrame, delta: DataFrame) -> DataFrame:
+    """Parquet-facade MERGE: old rows not in the delta + the delta.
+    ``apply_decision_delta(old, decision_delta(old, new)) == new`` —
+    pinned by tests/test_incremental_delta.py."""
+    untouched = old_comp.join(delta.select("node"), "node", "left_anti")
+    return untouched.select("node", "keep").unionByName(delta)

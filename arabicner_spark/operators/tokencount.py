@@ -92,7 +92,11 @@ def subword_counts(
     max_seq_len: int = tagcore.DEFAULT_MAX_SEQ_LEN,
 ) -> DataFrame:
     """Same output through tagcore's numpy encoder (mapInPandas)."""
-    schema = f"{id_col} bigint, n_tokens int, n_subwords bigint, n_kept int, n_taggable int"
+    # Preserve the caller's id type (string/int/bigint id columns all
+    # occur); hardcoding bigint silently miscast non-bigint ids while
+    # the expression twin preserved them.
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens int, n_subwords bigint, n_kept int, n_taggable int"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

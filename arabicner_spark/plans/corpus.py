@@ -26,10 +26,9 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arabicner_spark.functions import hashing
 from arabicner_spark.functions.pii import scrub_pii
 from arabicner_spark.functions.sampling import weighted_sample
-from arabicner_spark.operators.components import connected_components_adaptive
+from arabicner_spark.operators.incremental import dedup_state
 from arabicner_spark.operators.pack import pack_sequences
 from arabicner_spark.operators.tokencount import subword_counts_expr
 from arabicner_spark.plans.lineage import StageRunner
@@ -59,27 +58,15 @@ class CorpusConfig:
 
 
 def _dedup_keep(docs: DataFrame, width) -> DataFrame:
-    """(doc_id, keep_doc) via exact-star + LSH + CC (the dedup_survivors
-    composition, over (id string, text))."""
+    """(doc_id, keep_doc) via the SHARED full-run dedup chain
+    (operators/incremental.py::dedup_state) — one definition of the
+    exact-star + MinHash-LSH + CC survivors composition serves both the
+    corpus pipeline and the incremental-state path."""
     d = docs.select(F.col("doc_id").cast("string").alias("id"), "text")
-    g = d.groupBy(hashing.md5_utf8(F.col("text")).alias("h")).agg(
-        F.min("id").alias("a"), F.min("text").alias("text"), F.collect_set("id").alias("ids")
-    )
-    reps = g.select(F.col("a").alias("id"), "text")
-    star = g.select("a", F.explode("ids").alias("b")).where(F.col("a") != F.col("b"))
-    sh = hashing.word_shingles(reps, ["id"], "text", n=3, width=width)
-    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16, width=width)
-    near = hashing.lsh_candidate_pairs(
-        hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
-    )
-    comp = connected_components_adaptive(star.unionByName(near))
-    return (
-        d.select(F.col("id").alias("node"))
-        .join(comp, "node", "left")
-        .select(
-            F.col("node").cast("bigint").alias("doc_id"),
-            F.coalesce("component", "node").cast("bigint").alias("keep_doc"),
-        )
+    decision = dedup_state(d, width=width)["decision"]
+    return decision.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("keep").cast("bigint").alias("keep_doc"),
     )
 
 

@@ -899,16 +899,32 @@ FROM events GROUP BY 1, 2"""
 # ------------------------------------------------------------ dedup family
 
 def q_dedup_exact(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    g = d.groupBy(hashing.md5_utf8(F.col("text")).alias("dup_group")).agg(
-        F.count("*").alias("group_size"), F.min("doc_id").alias("keep_doc")
+    """Exact-hash dedup groups.  The testdata has no exact-duplicate
+    documents below sf0.1, which made the sf0.01 driver gate vacuous
+    (both engines returned 0 rows); to exercise the groupBy-collapse at
+    every sf, the query unions in a deterministic replica of every 7th
+    document (doc_id + 1_000_000) so dup groups exist by construction —
+    real sf0.1 dup groups still flow through the same path."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    g = (
+        d.unionByName(dup)
+        .groupBy(hashing.md5_utf8(F.col("text")).alias("dup_group"))
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("keep_doc"))
     )
     return g.where(F.col("group_size") > 1)
 
 
-SQL_DEDUP_EXACT = """
+SQL_DEDUP_EXACT = """WITH base AS (SELECT doc_id, text FROM documents),
+alld AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0
+)
 SELECT md5(text) AS dup_group, count(*) AS group_size, min(doc_id) AS keep_doc
-FROM documents GROUP BY 1 HAVING count(*) > 1"""
+FROM alld GROUP BY 1 HAVING count(*) > 1"""
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1585,8 +1601,14 @@ def q_text_repetition(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     n_chunks = F.floor(F.size(arr) / REP_CHUNK).cast("int")
+    # Guard the empty case: sequence(1, 0) is DESCENDING in Spark
+    # ([1, 0], step -1) while generate_series(1, 0) is empty in DuckDB —
+    # an under-REP_CHUNK doc must chunk to [] in both engines.
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
+    )
     chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
+        idx,
         lambda i: F.concat_ws(" ", F.slice(arr, (i - 1) * REP_CHUNK + 1, REP_CHUNK)),
     )
     per_chunk = (
@@ -4311,7 +4333,7 @@ SQL_REL_GAP_FILL = """WITH e AS (
   FROM events
 ),
 h0 AS (SELECT min(hour) AS h0 FROM e),
-obs AS (SELECT user_id, hour, sum(cents) AS hour_cents
+obs AS (SELECT user_id, hour, CAST(sum(cents) AS BIGINT) AS hour_cents
         FROM e GROUP BY user_id, hour),
 grid AS (
   SELECT u.user_id, g.hour
@@ -4319,10 +4341,10 @@ grid AS (
   CROSS JOIN (SELECT unnest(generate_series(h0, h0 + 71)) AS hour FROM h0) g
 )
 SELECT grid.user_id, grid.hour,
-       coalesce(obs.hour_cents, -1) AS observed_cents,
-       coalesce(last_value(obs.hour_cents IGNORE NULLS)
+       CAST(coalesce(obs.hour_cents, -1) AS BIGINT) AS observed_cents,
+       CAST(coalesce(last_value(obs.hour_cents IGNORE NULLS)
                   OVER (PARTITION BY grid.user_id ORDER BY grid.hour
-                        ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
+                        ROWS UNBOUNDED PRECEDING), -1) AS BIGINT) AS filled_cents
 FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.hour = obs.hour"""
 
 
@@ -4437,6 +4459,193 @@ SELECT est.grp AS l_returnflag, est.n_kept, est.kth_hash, est.estimate, ex.exact
 FROM est JOIN ex ON est.grp = ex.grp"""
 
 
+# ------------------------------------------- round-5 additions
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer training, the counting step (operators/bpe.py):
+    top-20 adjacent character pairs over the word-frequency table,
+    weighted by word frequency, ties (count desc, pair asc).  The
+    corpus is scanned ONCE to build the vocab table; pair counting and
+    the merge loop run on that vocab-sized table — the two-tier shape
+    that makes BPE training feasible at 100 TB.  The iterative
+    merge-application loop (expression-fold apply, driver sees one row
+    per merge) is pinned against a pure-Python reference in
+    tests/test_bpe.py; this gate pins the data-sized stage exactly."""
+    from arabicner_spark.operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    return bpe.char_pair_counts(bpe.word_freqs(d), k=20)
+
+
+SQL_BPE_PAIR_COUNTS = """WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+p AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM w, unnest(generate_series(1, len(word) - 1)) AS u(i)
+),
+a AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair)
+SELECT pair, n FROM a ORDER BY n DESC, pair LIMIT 20"""
+
+
+def q_kg_label_prop(spark, sf_dir):
+    """Community detection over the user co-activity graph:
+    deterministic synchronous label propagation, 3 rounds
+    (operators/graph.label_propagation) — most-frequent neighbor
+    label, ties to the smallest label, so the run is a pure function
+    of the edge set and the unrolled-CTE oracle value-hashes exactly.
+    Per round: one adjacency-x-labels join + one count agg + one
+    max_by arg-max — no window, no per-node sort, state one row per
+    node."""
+    from arabicner_spark.operators.graph import label_propagation
+
+    return label_propagation(_coactivity_edges(spark, sf_dir), rounds=3)
+
+
+_SQL_LPA_ROUND = """v{r} AS (
+  SELECT x.node, l.label, count(*) AS n
+  FROM adjx x JOIN l{p} l ON l.node = x.peer
+  GROUP BY x.node, l.label
+),
+l{r} AS (
+  SELECT node, label FROM v{r}
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, label) = 1
+)"""
+
+SQL_KG_LABEL_PROP = f"""WITH {_SQL_COACT},
+adjx AS (SELECT a AS node, b AS peer FROM cound
+         UNION ALL SELECT b, a FROM cound),
+l0 AS (SELECT DISTINCT node, node AS label FROM adjx),
+{_SQL_LPA_ROUND.format(r=1, p=0)},
+{_SQL_LPA_ROUND.format(r=2, p=1)},
+{_SQL_LPA_ROUND.format(r=3, p=2)}
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l3"""
+
+
+MIX_TARGETS = {"web": 0.5, "code": 0.3, "chat": 0.2}
+MIX_K = 200
+MIX_SEED = 11
+
+
+def _mix_source():
+    return (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("code"))
+        .otherwise(F.lit("chat"))
+    )
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Multi-source data MIXING (functions/sampling.mixture_sample):
+    blend ~MIX_K docs to target web/code/chat proportions with
+    per-source rates min(1, share*k/size) and membership decided by a
+    60-bit seeded-md5 cut under floor(rate * 2^60) — deterministic
+    across runs/partitionings/engines (one IEEE division, one multiply
+    by an exact power of two, one floor; every step correctly
+    rounded).  Gate reports per-source totals and kept counts."""
+    from arabicner_spark.functions.sampling import mixture_sample
+
+    d = load(spark, sf_dir, "documents").withColumn("source", _mix_source())
+    kept = mixture_sample(d, "doc_id", "source", MIX_TARGETS, MIX_K, seed=MIX_SEED)
+    tot = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    kc = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return tot.join(kc, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', CAST({share * MIX_K!r} AS DOUBLE))" for s, share in MIX_TARGETS.items()
+)
+
+SQL_SAMPLE_MIXTURE = f"""WITH src AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'web'
+              WHEN 1 THEN 'code' ELSE 'chat' END AS source
+  FROM documents
+),
+sizes AS (SELECT source, count(*) AS sz FROM src GROUP BY source),
+tgt AS (SELECT * FROM (VALUES {_MIX_VALUES}) t(source, des)),
+thr AS (
+  SELECT s.source, s.sz,
+         CAST(floor(least(1.0, t.des / CAST(s.sz AS DOUBLE))
+                    * {float(16 ** 15)!r}) AS BIGINT) AS cut
+  FROM sizes s JOIN tgt t ON t.source = s.source
+),
+kept AS (
+  SELECT r.source
+  FROM src r JOIN thr ON thr.source = r.source
+  WHERE CAST(CAST(('0x' || substr(md5('{MIX_SEED}|' || CAST(r.doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) < thr.cut
+),
+kc AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+SELECT s.source, CAST(s.sz AS BIGINT) AS n_total,
+       CAST(coalesce(kc.n_kept, 0) AS BIGINT) AS n_kept
+FROM sizes s LEFT JOIN kc ON kc.source = s.source"""
+
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Iceberg-contract time travel on the TableIO facade
+    (sources/io.py): commit v1 = even doc_ids, commit v2 = all docs,
+    then read v1 AFTER the v2 commit — an old snapshot must stay
+    readable, unchanged, under later commits (immutable version dirs
+    on the parquet facade; VERSION AS OF when an Iceberg catalog is
+    configured).  Output: per (version, lang) doc counts + total text
+    chars from the time-travel reads; oracle derives both versions
+    straight from the source table."""
+    import tempfile
+
+    from arabicner_spark.sources.io import TableIO
+
+    root = tempfile.mkdtemp(prefix="arabicner_tt_")
+    io = TableIO(spark, root, "parquet")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    v1 = io.write_snapshot(d.where(F.col("doc_id") % 2 == 0), "docs")
+    io.write_snapshot(d, "docs")
+
+    def agg(df, version):
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("chars"),
+            )
+            .select(
+                F.lit(version).cast("int").alias("version"),
+                "lang",
+                "n_docs",
+                "chars",
+            )
+        )
+
+    old = agg(io.read_snapshot("docs", version=v1), 1)
+    latest = agg(io.read_snapshot("docs"), 2)
+    return old.unionByName(latest)
+
+
+SQL_SNAPSHOT_TIME_TRAVEL = """
+SELECT CAST(1 AS INTEGER) AS version, lang,
+       count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS chars
+FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+UNION ALL
+SELECT CAST(2 AS INTEGER), lang, count(*), CAST(sum(len(text)) AS BIGINT)
+FROM documents GROUP BY lang"""
+
+
+# Registry ORDER is the driver-gate rotation mechanism: the driver
+# evaluates exactly the first 50 entries each round.  Window policy
+# (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
+# new + changed-this-round queries sit in positions 1-50; veterans
+# with multiple prior driver greens rotate to the alphabetical tail.
+# r5 window: rotated IN ann_recall, corpus_pipeline, dedup_exact
+# (de-vacuated this round), dedup_incremental, pack_sequences,
+# split_three_way, stream_kg_triples; rotated OUT the seven r1-r4
+# four-green veterans kg_edges, kg_mentions_bio, kg_components,
+# kg_triples, kg_linked, dedup_minhash_lsh, dedup_jaccard.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
@@ -4469,48 +4678,54 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
-    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
-    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
     "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
-    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
-    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
-    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
-    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
-    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
     "text_urls": (q_text_urls, SQL_TEXT_URLS),
-    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
-    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
+    "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
+    "snapshot_time_travel": (q_snapshot_time_travel, SQL_SNAPSHOT_TIME_TRAVEL),
+    # ---- alphabetical tail: settled veterans (driver greens on file) ----
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
-    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
-    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
+    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
+    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
     "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
     "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
     "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
     "kg_top_surfaces": (q_kg_top_surfaces, SQL_KG_TOP_SURFACES),
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_meta": (q_mm_meta, SQL_MM_META),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
     "rel_cube": (q_rel_cube, SQL_REL_CUBE),
     "rel_customers_no_orders": (q_rel_customers_no_orders, SQL_REL_NO_ORDERS),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
@@ -4521,11 +4736,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
-    "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
-    "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),

@@ -126,3 +126,70 @@ class TableIO:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(name))
+
+    # ----------------------------------------------- snapshots / time travel
+
+    def write_snapshot(self, df: DataFrame, name: str) -> int:
+        """Commit a new IMMUTABLE version of ``name`` and return its
+        version number (1-based, monotone).
+
+        iceberg: a createOrReplace commit — Iceberg keeps the snapshot
+        history natively and ``read_snapshot`` maps to ``VERSION AS
+        OF``.  parquet facade: versions are immutable subdirectories
+        ``<name>/v=<N>``; a new commit writes v=<N+1> and NEVER
+        rewrites a prior version — the same append-only-metadata
+        contract that makes Iceberg time travel safe under concurrent
+        readers (a reader of v=N is undisturbed by the v=N+1 commit).
+        """
+        if self.mode == "iceberg":
+            df.writeTo(f"{self.root}.{name}").using("iceberg").createOrReplace()
+            return len(
+                self.spark.sql(
+                    f"SELECT snapshot_id FROM {self.root}.{name}.snapshots"
+                ).collect()
+            )
+        n = (max(self.snapshot_versions(name), default=0)) + 1
+        df.write.mode("errorifexists").parquet(
+            os.path.join(self._path(name), f"v={n}")
+        )
+        return n
+
+    def snapshot_versions(self, name: str) -> List[int]:
+        """Committed version numbers, ascending (parquet facade: only
+        dirs whose write completed — _SUCCESS present)."""
+        if self.mode == "iceberg":
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self.root}.{name}.snapshots "
+                "ORDER BY committed_at"
+            ).collect()
+            return list(range(1, len(rows) + 1))
+        base = self._path(name)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if d.startswith("v=") and os.path.exists(
+                os.path.join(base, d, "_SUCCESS")
+            ):
+                out.append(int(d[2:]))
+        return sorted(out)
+
+    def read_snapshot(self, name: str, version: Optional[int] = None) -> DataFrame:
+        """Time-travel read: the table AS OF ``version`` (latest when
+        None).  Old versions stay readable unchanged after newer
+        commits — gated by the snapshot_time_travel oracle query."""
+        versions = self.snapshot_versions(name)
+        if not versions:
+            raise ValueError(f"no snapshots for table {name}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"unknown snapshot version {v} for {name}")
+        if self.mode == "iceberg":
+            row = self.spark.sql(
+                f"SELECT snapshot_id FROM {self.root}.{name}.snapshots "
+                f"ORDER BY committed_at LIMIT 1 OFFSET {v - 1}"
+            ).first()
+            return self.spark.read.option("snapshot-id", row.snapshot_id).table(
+                f"{self.root}.{name}"
+            )
+        return self.spark.read.parquet(os.path.join(self._path(name), f"v={v}"))

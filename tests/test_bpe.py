@@ -1,0 +1,98 @@
+"""operators/bpe: the distributed trainer must equal a pure-Python
+textbook BPE on the same word-frequency table — merge sequence AND
+final symbolization — and the expression-fold merge apply must handle
+the overlapping-run edge cases exactly like the sequential scan."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from arabicner_spark.operators import bpe
+
+
+def _python_bpe(word_freqs, n_merges, min_count=2):
+    """Textbook reference: count adjacent pairs weighted by freq, merge
+    the (count desc, pair asc) argmax greedily left-to-right."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        top_n = max(counts.values())
+        cands = sorted(p for p, n in counts.items() if n == top_n)
+        x, y = cands[0]
+        if top_n < min_count:
+            break
+        merges.append((x, y))
+        for w in syms:
+            out = []
+            for s in syms[w]:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            syms[w] = out
+    return merges, syms
+
+
+CORPUS = (
+    "low low low low low lower lower newest newest newest newest newest "
+    "newest widest widest widest"
+)
+
+
+def test_train_bpe_matches_python_reference(spark):
+    docs = spark.createDataFrame([(1, CORPUS)], "doc_id bigint, text string")
+    words = bpe.word_freqs(docs)
+    wf = {r.word: r.freq for r in words.collect()}
+    want_merges, want_syms = _python_bpe(wf, n_merges=6)
+    got_merges, got_df = bpe.train_bpe(words, n_merges=6)
+    assert got_merges == want_merges
+    got_syms = {r.word: list(r.syms) for r in got_df.collect()}
+    assert got_syms == want_syms
+    # the classic toy run actually learns multi-char symbols
+    assert any(len(x + y) > 2 for x, y in got_merges)
+
+
+def test_apply_merge_overlapping_runs(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a", "a"],)],
+        "syms array<string>",
+    )
+    out = [
+        list(r.m)
+        for r in df.select(bpe.apply_merge(F.col("syms"), "a", "a").alias("m")).collect()
+    ]
+    assert out == [["aa", "a"], ["aa", "aa"], ["b", "aa"]]
+
+
+def test_apply_merge_does_not_cross_symbol_boundaries(spark):
+    # merge (a, b) must not fire on symbol 'ab' already merged, nor on
+    # a symbol that merely ends with 'a' followed by one starting 'b'
+    df = spark.createDataFrame([(["ab", "c"],), (["xa", "b"],)], "syms array<string>")
+    out = [
+        list(r.m)
+        for r in df.select(bpe.apply_merge(F.col("syms"), "a", "b").alias("m")).collect()
+    ]
+    assert out == [["ab", "c"], ["xa", "b"]]
+
+
+def test_encode_word_mirrors_distributed_apply(spark):
+    docs = spark.createDataFrame([(1, CORPUS)], "doc_id bigint, text string")
+    merges, got_df = bpe.train_bpe(bpe.word_freqs(docs), n_merges=4)
+    for r in got_df.collect():
+        assert bpe.encode_word(r.word, merges) == list(r.syms)
+
+
+def test_char_pair_counts_tiebreak_and_weighting(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab cd cd")], "doc_id bigint, text string"
+    )
+    top = bpe.char_pair_counts(bpe.word_freqs(docs), k=2).collect()
+    # 'ab' freq 3, 'cd' freq 3 -> tie broken by pair asc
+    assert [(r.pair, r.n) for r in top] == [("ab", 3), ("cd", 3)]
