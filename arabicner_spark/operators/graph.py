@@ -342,17 +342,22 @@ def label_propagation(
         "node", F.col("node").cast("long").alias("label")
     )
     for _ in range(rounds):
-        votes = (
-            adj.join(
-                labels.select(F.col("node").alias("peer"), "label"), "peer"
-            )
-            .groupBy("node", "label")
-            .agg(F.count("*").alias("n"))
-        )
-        # arg-max by (n desc, label asc): max_by over (n, -label)
-        labels = votes.groupBy("node").agg(
-            F.max_by(
-                "label", F.struct(F.col("n"), (-F.col("label")).alias("negl"))
-            ).alias("label")
-        ).localCheckpoint(eager=True)
+        labels = _lpa_round(adj, labels).localCheckpoint(eager=True)
     return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA step: vote counts + deterministic arg-max.
+    The arg-max is a max_by AGGREGATE over (n, -label) — map-side
+    combinable — not a per-node Window sort (plan-pinned in
+    tests/test_plans.py)."""
+    votes = (
+        adj.join(labels.select(F.col("node").alias("peer"), "label"), "peer")
+        .groupBy("node", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    return votes.groupBy("node").agg(
+        F.max_by(
+            "label", F.struct(F.col("n"), (-F.col("label")).alias("negl"))
+        ).alias("label")
+    )

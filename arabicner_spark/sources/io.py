@@ -174,6 +174,27 @@ class TableIO:
                 out.append(int(d[2:]))
         return sorted(out)
 
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> List[int]:
+        """Iceberg-style snapshot expiry (the maintenance op that pairs
+        with time travel): drop all but the newest ``keep_last``
+        versions and return the expired version numbers.  Deletion goes
+        through the Hadoop FileSystem API so the facade works on any
+        scheme, same rule as incremental.save_state.  iceberg mode is a
+        no-op here (run the catalog's expire_snapshots procedure — it
+        must also clean orphan data files, which the engine owns)."""
+        if self.mode == "iceberg":
+            return []
+        versions = self.snapshot_versions(name)
+        drop = versions[:-keep_last] if keep_last > 0 else versions
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for v in drop:
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self._path(name), f"v={v}")
+            )
+            p.getFileSystem(hconf).delete(p, True)
+        return drop
+
     def read_snapshot(self, name: str, version: Optional[int] = None) -> DataFrame:
         """Time-travel read: the table AS OF ``version`` (latest when
         None).  Old versions stay readable unchanged after newer

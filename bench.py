@@ -301,6 +301,20 @@ def main() -> None:
         fn(spark, sf_dir).count()
         r4_timings[name] = round(time.time() - t0, 3)
 
+    # round-5 operator family, same single-shot convention
+    R5_OPS = [
+        "bpe_pair_counts",
+        "kg_label_prop",
+        "sample_mixture",
+        "snapshot_time_travel",
+    ]
+    r5_timings = {}
+    for name in R5_OPS:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        r5_timings[name] = round(time.time() - t0, 3)
+
     skew = skew_leg(spark, sf_dir, cpus)
     ivf = ivf_cells_leg(spark, sf_dir)
     coact = coactivity_hot_minute_leg(spark, sf_dir)
@@ -319,6 +333,7 @@ def main() -> None:
                 "rows": counts,
                 "kg_edges_triples_per_sec": triples_per_sec,
                 "r4_ops": r4_timings,
+                "r5_ops": r5_timings,
                 "skew_hot_conv": skew,
                 "ivf_cells": ivf,
                 "coactivity_hot_minute": coact,

@@ -99,3 +99,18 @@ def test_snapshot_time_travel_and_immutability(spark, tmp_path):
         io.read_snapshot("t", 99)
     with pytest.raises(ValueError):
         io.read_snapshot("missing")
+
+
+def test_snapshot_expiry_keeps_newest_and_time_travel_still_works(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path), "parquet")
+    for n in (5, 10, 15, 20):
+        io.write_snapshot(spark.range(0, n), "t")
+    expired = io.expire_snapshots("t", keep_last=2)
+    assert expired == [1, 2]
+    assert io.snapshot_versions("t") == [3, 4]
+    assert io.read_snapshot("t", 3).count() == 15
+    assert io.read_snapshot("t").count() == 20
+    with pytest.raises(ValueError):
+        io.read_snapshot("t", 1)  # expired versions are gone
+    # and the next commit continues the version sequence
+    assert io.write_snapshot(spark.range(0, 30), "t") == 5

@@ -132,3 +132,51 @@ def test_pin_width_respects_shuffle_partitions(spark):
         assert pin_width(spark) == spark.sparkContext.defaultParallelism
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_r5_queries_plan_shapes(spark, sf_dir):
+    """Round-5 operators stay on the fast path: BPE pair counting and
+    mixture sampling are Python-free (pure codegen + one agg /
+    broadcast join), the BPE top-k is a TakeOrderedAndProject (never a
+    global sort), mixture's rate join broadcasts (never a shuffle of
+    the doc side against 3 rate rows), and no r5 query plans a
+    cartesian/BNLJ."""
+    from arabicner_spark.operators import bpe
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pc_plan = plan_of(bpe.char_pair_counts(bpe.word_freqs(d), k=20))
+    assert "TakeOrderedAndProject" in pc_plan
+    assert "PythonUDF" not in pc_plan and "ArrowEval" not in pc_plan
+
+    mix_plan = plan_of(QUERIES["sample_mixture"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in mix_plan
+    assert "PythonUDF" not in mix_plan
+    for name in ("bpe_pair_counts", "sample_mixture", "snapshot_time_travel"):
+        p = plan_of(QUERIES[name][0](spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_label_propagation_rounds_use_agg_not_window(spark):
+    """The LPA arg-max must plan as a max_by HashAggregate (map-side
+    combinable), not a per-node Window sort — the difference between a
+    shuffle of (node,label,count) partials and a full sort of the vote
+    table at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from arabicner_spark.operators.graph import _lpa_round, undirected_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    und = undirected_edges(edges)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("peer")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("peer"))
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").cast("long").alias("label")
+    )
+    p = plan_of(_lpa_round(adj, labels))
+    assert "Window" not in nodes_of(p)
+    assert "max_by" in p
