@@ -45,11 +45,15 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def char_symbols(word_col: Column) -> Column:
-    """Initial BPE state: the word as its character sequence."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(word_col)),
-        lambda i: word_col.substr(i, F.lit(1)),
-    )
+    """Initial BPE state: the word as its character sequence.  Guarded
+    for the empty word: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+    which would turn "" into two empty symbols and let a ('', '')
+    merge win the first round (observed on a synthetic vocab before
+    the guard) — same bug class as the text_repetition chunk fix."""
+    idx = F.when(
+        F.length(word_col) >= 1, F.sequence(F.lit(1), F.length(word_col))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: word_col.substr(i, F.lit(1)))
 
 
 def char_pair_counts(words: DataFrame, k: int = 20) -> DataFrame:

@@ -4636,6 +4636,54 @@ SELECT CAST(2 AS INTEGER), lang, count(*), CAST(sum(len(text)) AS BIGINT)
 FROM documents GROUP BY lang"""
 
 
+def q_ann_kmeans(spark, sf_dir):
+    """IVF centroid refinement: 2 deterministic Lloyd rounds in
+    fixed-point int64 (operators/kmeans.py) seeded with the IVF_CELLS
+    convention (vectors with vec_id < 8).  Float centroid means are
+    order-dependent reductions a value-hash gate cannot tolerate;
+    fixed-point + truncated integral means + (dist, cl) tie order make
+    the whole run a pure function of the input, so the unrolled
+    two-round SQL oracle matches exactly.  Long-format plan: no array
+    rebuilds, broadcast centroid join, map-side-combinable aggs."""
+    from arabicner_spark.operators.kmeans import kmeans_fp
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return kmeans_fp(e, "vec_id", "v", k=8, rounds=2)
+
+
+_SQL_KM_ASSIGN = """d{r} AS (
+  SELECT ev.vec_id, c.cl,
+         CAST(SUM((ev.val - c.cval) * (ev.val - c.cval)) AS BIGINT) AS dist
+  FROM ev JOIN c{p} c ON c.dim = ev.dim GROUP BY ev.vec_id, c.cl
+),
+a{r} AS (
+  SELECT vec_id, cl, dist FROM d{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1
+)"""
+
+SQL_ANN_KMEANS = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+ev AS (
+  SELECT vec_id, i AS dim, CAST(floor(v[i] * 1000000) AS BIGINT) AS val
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, dim, val AS cval
+       FROM ev WHERE vec_id < 8),
+{_SQL_KM_ASSIGN.format(r=1, p=0)},
+c1 AS (
+  SELECT a1.cl, ev.dim,
+         CAST(CAST(sign(CAST(SUM(ev.val) AS BIGINT)) AS BIGINT)
+              * (abs(CAST(SUM(ev.val) AS BIGINT)) // COUNT(*)) AS BIGINT) AS cval
+  FROM ev JOIN a1 ON a1.vec_id = ev.vec_id GROUP BY a1.cl, ev.dim
+),
+{_SQL_KM_ASSIGN.format(r=2, p=1)}
+SELECT vec_id, CAST(cl AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist_fp
+FROM a2"""
+
+
 # Registry ORDER is the driver-gate rotation mechanism: the driver
 # evaluates exactly the first 50 entries each round.  Window policy
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
@@ -4678,7 +4726,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
     "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
@@ -4693,6 +4740,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
     "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
+    "ann_kmeans_refine": (q_ann_kmeans, SQL_ANN_KMEANS),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
@@ -4736,6 +4784,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

@@ -303,6 +303,7 @@ def main() -> None:
 
     # round-5 operator family, same single-shot convention
     R5_OPS = [
+        "ann_kmeans_refine",
         "bpe_pair_counts",
         "kg_label_prop",
         "sample_mixture",

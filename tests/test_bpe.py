@@ -96,3 +96,14 @@ def test_char_pair_counts_tiebreak_and_weighting(spark):
     top = bpe.char_pair_counts(bpe.word_freqs(docs), k=2).collect()
     # 'ab' freq 3, 'cd' freq 3 -> tie broken by pair asc
     assert [(r.pair, r.n) for r in top] == [("ab", 3), ("cd", 3)]
+
+
+def test_empty_word_yields_no_symbols_and_no_merges(spark):
+    # sequence(1, 0) is descending in Spark; an unguarded char split
+    # turns "" into ["", ""] and a ('', '') merge wins round one
+    df = spark.createDataFrame([("", 100), ("ab", 3)], "word string, freq long")
+    merges, syms = bpe.train_bpe(df, n_merges=1)
+    assert merges == [("a", "b")]
+    out = {r.word: list(r.syms) for r in syms.collect()}
+    assert out[""] == []
+    assert out["ab"] == ["ab"]
