@@ -76,3 +76,14 @@ def test_kmeans_refinement_reduces_total_distortion(spark):
     d1 = kmeans_fp(df, k=2, rounds=1).agg(F.sum("dist_fp")).first()[0]
     d2 = kmeans_fp(df, k=2, rounds=2).agg(F.sum("dist_fp")).first()[0]
     assert d2 <= d1
+
+
+def test_kmeans_k_larger_than_input(spark):
+    # only 3 vectors but k=8: every vector is its own (seed) centroid,
+    # final distortion 0, assignment = identity
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "vec_id bigint, v array<double>",
+    )
+    rows = {r.vec_id: (r.cluster, r.dist_fp) for r in kmeans_fp(df, k=8, rounds=2).collect()}
+    assert rows == {0: (0, 0), 1: (1, 0), 2: (2, 0)}

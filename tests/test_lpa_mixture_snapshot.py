@@ -114,3 +114,33 @@ def test_snapshot_expiry_keeps_newest_and_time_travel_still_works(spark, tmp_pat
         io.read_snapshot("t", 1)  # expired versions are gone
     # and the next commit continues the version sequence
     assert io.write_snapshot(spark.range(0, 30), "t") == 5
+
+
+def test_lpa_empty_edges_returns_empty(spark):
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert label_propagation(edges, rounds=2).count() == 0
+
+
+def test_lpa_self_loops_dropped(spark):
+    # undirected_edges drops self-loops; a node with ONLY a self-loop
+    # is not in the graph at all
+    edges = spark.createDataFrame([(7, 7), (1, 2)], "src bigint, dst bigint")
+    out = _labels(label_propagation(edges, rounds=2))
+    assert 7 not in out and set(out) == {1, 2}
+
+
+def test_mixture_source_missing_from_targets_is_dropped(spark):
+    # sources without a target share contribute nothing (inner join
+    # against the rate table) — the contract for "not in the recipe"
+    df = spark.range(0, 90).select(
+        "id", F.when(F.col("id") < 30, "web").otherwise("junk").alias("source")
+    )
+    kept = mixture_sample(df, "id", "source", {"web": 1.0}, k=30, seed=2)
+    assert kept.where(F.col("source") == "junk").count() == 0
+    assert kept.count() > 0
+
+
+def test_mixture_zero_share_keeps_nothing(spark):
+    df = spark.range(0, 50).select("id", F.lit("web").alias("source"))
+    kept = mixture_sample(df, "id", "source", {"web": 0.0}, k=100, seed=2)
+    assert kept.count() == 0
