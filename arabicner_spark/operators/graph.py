@@ -361,3 +361,39 @@ def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
             "label", F.struct(F.col("n"), (-F.col("label")).alias("negl"))
         ).alias("label")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` rounds of dropping nodes
+    whose degree in the CURRENT induced subgraph is < k; returns the
+    survivors with their final-round degree.  The full k-core is the
+    fixpoint of this peel; a fixed round count keeps the run
+    deterministic and the unrolled SQL oracle exact (the same
+    bounded-iteration convention as bfs_depths).
+
+    Scale shape per round: two semi-joins of the adjacency against the
+    survivor set (both keyed on a node id) + one count agg — map-side
+    combinable, state one row per surviving node, localCheckpoint per
+    round."""
+    und = undirected_edges(edges, src, dst)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("peer"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("peer")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = adj.select("node").distinct()
+    surv = None
+    for _ in range(rounds):
+        e = adj.join(nodes, "node").join(
+            nodes.select(F.col("node").alias("peer")), "peer"
+        )
+        deg = e.groupBy("node").agg(F.count("*").alias("deg"))
+        surv = deg.where(F.col("deg") >= k).localCheckpoint(eager=True)
+        nodes = surv.select("node")
+    return surv.select("node", F.col("deg").cast("int").alias("deg"))

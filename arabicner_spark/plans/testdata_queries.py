@@ -4684,6 +4684,98 @@ SELECT vec_id, CAST(cl AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist_fp
 FROM a2"""
 
 
+def q_graph_kcore(spark, sf_dir):
+    """Bounded k-core peel over the co-activity graph
+    (operators/graph.kcore, k=2, 3 rounds): iteratively drop nodes
+    with induced degree < k; survivors + final-round degree.  Fixed
+    round count = deterministic + unrolled-CTE-exact (the bfs_depths
+    convention).  Per round: two survivor semi-joins + one count agg."""
+    from arabicner_spark.operators.graph import kcore
+
+    return kcore(_coactivity_edges(spark, sf_dir), k=2, rounds=3)
+
+
+_SQL_KCORE_ROUND = """e{r} AS (
+  SELECT x.node, x.peer FROM adjx x
+  JOIN n{p} a ON a.node = x.node JOIN n{p} b ON b.node = x.peer
+),
+d{r} AS (SELECT node, count(*) AS deg FROM e{r} GROUP BY node),
+n{r} AS (SELECT node FROM d{r} WHERE deg >= 2)"""
+
+SQL_GRAPH_KCORE = f"""WITH {_SQL_COACT},
+adjx AS (SELECT a AS node, b AS peer FROM cound
+         UNION ALL SELECT b, a FROM cound),
+n0 AS (SELECT DISTINCT node FROM adjx),
+{_SQL_KCORE_ROUND.format(r=1, p=0)},
+{_SQL_KCORE_ROUND.format(r=2, p=1)},
+{_SQL_KCORE_ROUND.format(r=3, p=2)}
+SELECT d3.node, CAST(d3.deg AS INTEGER) AS deg
+FROM d3 WHERE d3.deg >= 2"""
+
+
+# Arabic snippets with the foldable phenomena (tashkeel, hamza-alef
+# variants, madda, alef wasla, dagger alef, taa marbuta, alef maqsura,
+# tatweel) + an empty branch so the no-injection path stays live.
+_AR_SNIPPETS = [
+    "قَـالَ الرَّئِيسُ إِنَّ",
+    "إِلَى المَكْتَبَةِ الكُبْرَى",
+    "عَلَىٰ أَمْرٍ آخَرَ",
+    "شَيْءٌ ٱسْتِثْنَائِيٌّ ؤمّة",
+    "",
+]
+
+
+def q_text_arabic_normalize(spark, sf_dir):
+    """Arabic surface normalization (functions/normalize.py — the
+    folding the entity-linking stage applies before alias joins) under
+    its own direct oracle: deterministic Arabic suffixes with every
+    foldable phenomenon are injected per doc_id (the corpus text is
+    ASCII), then normalize_col runs and the oracle replays the
+    identical translate+lower in DuckDB (PostgreSQL-semantics
+    translate deletes unpaired source chars in both engines).
+    n_stripped counts removed codepoints — nonzero on every injected
+    branch, pinning that each phenomenon actually fires."""
+    from arabicner_spark.functions.normalize import normalize_col
+
+    d = load(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _AR_SNIPPETS]),
+        (F.pmod(F.col("doc_id"), F.lit(len(_AR_SNIPPETS))) + 1).cast("int"),
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.when(suffix != "", F.concat(F.lit(" "), suffix)).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        normalize_col(aug).alias("norm"),
+        (F.length(aug) - F.length(normalize_col(aug))).cast("int").alias("n_stripped"),
+    )
+
+
+def _sql_arabic_normalize() -> str:
+    from arabicner_spark.functions.normalize import _DELETE, _FOLD_DST, _FOLD_SRC
+
+    cases = " ".join(
+        f"WHEN {i} THEN ' ' || '{s}'" for i, s in enumerate(_AR_SNIPPETS) if s
+    )
+    return f"""WITH a AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % {len(_AR_SNIPPETS)} AS INTEGER)
+                 {cases} ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       lower(translate(aug, '{_FOLD_SRC + _DELETE}', '{_FOLD_DST}')) AS norm,
+       CAST(length(aug)
+            - length(lower(translate(aug, '{_FOLD_SRC + _DELETE}', '{_FOLD_DST}')))
+            AS INTEGER) AS n_stripped
+FROM a"""
+
+
+SQL_TEXT_ARABIC_NORMALIZE = _sql_arabic_normalize()
+
+
 # Registry ORDER is the driver-gate rotation mechanism: the driver
 # evaluates exactly the first 50 entries each round.  Window policy
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
@@ -4695,7 +4787,6 @@ FROM a2"""
 # four-green veterans kg_edges, kg_mentions_bio, kg_components,
 # kg_triples, kg_linked, dedup_minhash_lsh, dedup_jaccard.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
@@ -4721,7 +4812,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sketch_hist_quantile": (q_sketch_hist_quantile, SQL_SKETCH_HIST_QUANTILE),
     "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
     "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
-    "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
     "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
     "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
@@ -4741,6 +4831,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
     "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
     "ann_kmeans_refine": (q_ann_kmeans, SQL_ANN_KMEANS),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "text_arabic_normalize": (q_text_arabic_normalize, SQL_TEXT_ARABIC_NORMALIZE),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
@@ -4756,6 +4848,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
+    "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
     "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
     "kg_edges": (q_kg_edges, SQL_KG_EDGES),

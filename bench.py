@@ -305,9 +305,11 @@ def main() -> None:
     R5_OPS = [
         "ann_kmeans_refine",
         "bpe_pair_counts",
+        "graph_kcore",
         "kg_label_prop",
         "sample_mixture",
         "snapshot_time_travel",
+        "text_arabic_normalize",
     ]
     r5_timings = {}
     for name in R5_OPS:

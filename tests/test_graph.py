@@ -161,3 +161,30 @@ def test_orientation_kills_hub_wedge_blowup(spark):
     # the naive wedge count for contrast (computed arithmetically, not
     # joined): C(1000, 2)
     assert 1000 * 999 // 2 == 499500
+
+
+def test_kcore_peel_cascades(spark):
+    """A 3-path dies in two peel rounds (endpoints first, then the
+    stranded middle); a triangle plus a pendant keeps only the
+    triangle, each survivor at degree 2."""
+    from arabicner_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3),              # path: all three must die
+         (10, 11), (11, 12), (10, 12), (12, 13)],  # triangle + pendant 13
+        "src bigint, dst bigint",
+    )
+    out = {(r.node, r.deg) for r in kcore(edges, k=2, rounds=3).collect()}
+    assert out == {(10, 2), (11, 2), (12, 2)}
+
+
+def test_kcore_bounded_rounds_vs_fixpoint(spark):
+    """A long path needs one round per layer: with too few rounds the
+    peel is incomplete (documented bounded-iteration semantics), with
+    enough rounds it reaches the true (empty) 2-core."""
+    from arabicner_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(6)]  # 7-node path
+    edges = spark.createDataFrame(path, "src bigint, dst bigint")
+    assert kcore(edges, k=2, rounds=1).count() > 0
+    assert kcore(edges, k=2, rounds=4).count() == 0
