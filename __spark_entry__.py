@@ -25,6 +25,36 @@ def _tuned(spark: SparkSession) -> SparkSession:
     # timestamps must mean the same instant in Spark and DuckDB
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Python WORKERS inherit the driver process's CWD, not its
+    # sys.path — a session driven from outside the repo root can
+    # deserialize module-level closures (mapInPandas scorers, the
+    # foreachBatch sink) only if the package is shipped to executors.
+    # Same mechanism as spark-submit --py-files; re-adding the same
+    # file is a harmless no-op, hence the broad guard.  The zip is
+    # rebuilt first when any package source is newer than it, so
+    # workers can never silently run stale code.
+    here = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(here, "arabicner_spark.zip")
+    try:
+        pkg = os.path.join(here, "arabicner_spark")
+        src_mtime = max(
+            os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(pkg)
+            for f in fs
+            if f.endswith(".py")
+        )
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+            import zipfile
+
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+                for r, _d, fs in os.walk(pkg):
+                    for f in sorted(fs):
+                        if f.endswith(".py"):
+                            p = os.path.join(r, f)
+                            z.write(p, os.path.relpath(p, here))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass
     return spark
 
 
