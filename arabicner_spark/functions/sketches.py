@@ -100,3 +100,81 @@ def kmv_distinct_by(df: DataFrame, group: str, col: str, k: int = 64) -> DataFra
         .otherwise(F.round((k - 1) / _frac(F.col("kth_hash")), 4))
         .alias("estimate"),
     )
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, s: int = 20) -> DataFrame:
+    """Exact phi-heavy hitters: every value with count > n/s, plus its
+    count and share.  Two map-side-combinable aggregates and a one-row
+    broadcast — the exact two-pass formulation that is preferable to a
+    sketch whenever a shuffle over the DISTINCT values is affordable
+    (the group-by carries one row per distinct value, not per input
+    row).  ``share`` is one IEEE division + round(4), cross-engine
+    exact."""
+    counts = df.groupBy(F.col(col).alias("val")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * s > F.col("n"))
+        .select("val", "cnt", F.round(F.col("cnt") / F.col("n"), 4).alias("share"))
+    )
+
+
+def heavy_hitters_mg(df: DataFrame, col: str, k: int = 8) -> DataFrame:
+    """Misra-Gries summary, distributed: each partition keeps a
+    k-counter MG summary (mapPartitions — output is summary-sized, at
+    most k rows per partition, never data-sized), summaries merge by
+    summing per-value estimates, and the merged estimates are lowered
+    by the (k+1)-th largest to restore the MG underestimate invariant.
+
+    Guarantee (property-tested): for every value,
+    ``true - n/(k+1) <= est <= true`` — so any value with frequency
+    above n/(k+1) is guaranteed present.  Estimates depend on
+    partition layout (inherent to MG), so this is the
+    streaming/constant-memory path; exact two-pass above is the gate.
+    """
+    def mg(rows):
+        counters: dict = {}
+        for r in rows:
+            v = r[0]
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < k:
+                counters[v] = 1
+            else:
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+        return iter(counters.items())
+
+    parts = df.select(F.col(col).cast("string")).rdd.mapPartitions(mg)
+    merged = (
+        parts.toDF(["val", "est"])
+        .groupBy("val")
+        .agg(F.sum("est").cast("bigint").alias("est"))
+    )
+    # subtract the (k+1)-th largest merged estimate — but only when
+    # more than k values survived the merge (otherwise nothing to trim)
+    kth = (
+        merged.orderBy(F.desc("est"), "val")
+        .limit(k + 1)
+        .agg(
+            F.when(F.count("*") > k, F.min("est"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("kth")
+        )
+    )
+    over = merged.crossJoin(F.broadcast(kth))
+    return (
+        over.select(
+            "val",
+            F.when(F.col("est") > F.col("kth"), F.col("est") - F.col("kth"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("est"),
+        )
+        .where(F.col("est") > 0)
+    )

@@ -4776,6 +4776,35 @@ FROM a"""
 SQL_TEXT_ARABIC_NORMALIZE = _sql_arabic_normalize()
 
 
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy hitters (functions/sketches.heavy_hitters_exact)
+    over a skew-planted key: ~30% of events collapse onto 'HOT', the
+    rest stay per-user (~0.7% each), so s=20 keeps exactly the planted
+    hitter and filters the long tail — non-vacuous at every sf.  Two
+    map-side-combinable aggregates + a one-row broadcast; the
+    constant-memory Misra-Gries variant (partition-layout-dependent by
+    nature) is bound-property-tested instead of oracle-gated."""
+    from arabicner_spark.functions.sketches import heavy_hitters_exact
+
+    e = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 3, F.lit("HOT"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("hk")
+    )
+    return heavy_hitters_exact(e, "hk", s=20)
+
+
+SQL_SKETCH_HEAVY_HITTERS = """WITH v AS (
+  SELECT CASE WHEN user_id % 10 < 3 THEN 'HOT'
+              ELSE CAST(user_id AS VARCHAR) END AS val
+  FROM events
+),
+c AS (SELECT val, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY val),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+SELECT c.val, c.cnt, round(c.cnt / t.n, 4) AS share
+FROM c, t WHERE c.cnt * 20 > t.n"""
+
+
 # Registry ORDER is the driver-gate rotation mechanism: the driver
 # evaluates exactly the first 50 entries each round.  Window policy
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
@@ -4816,7 +4845,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
+    "sketch_heavy_hitters": (q_sketch_heavy_hitters, SQL_SKETCH_HEAVY_HITTERS),
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
@@ -4874,6 +4903,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
     "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
     "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
+    "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),

@@ -308,6 +308,7 @@ def main() -> None:
         "graph_kcore",
         "kg_label_prop",
         "sample_mixture",
+        "sketch_heavy_hitters",
         "snapshot_time_travel",
         "text_arabic_normalize",
     ]
