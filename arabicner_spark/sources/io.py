@@ -163,15 +163,22 @@ class TableIO:
                 "ORDER BY committed_at"
             ).collect()
             return list(range(1, len(rows) + 1))
-        base = self._path(name)
-        if not os.path.isdir(base):
+        # Hadoop FileSystem listing, not os.listdir: the facade path may
+        # carry any scheme (file:, hdfs:, s3a:) — same rule as the
+        # expire/delete paths and incremental.save_state's cleanup.
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        base = jvm.org.apache.hadoop.fs.Path(self._path(name))
+        fs = base.getFileSystem(hconf)
+        if not fs.exists(base):
             return []
         out = []
-        for d in os.listdir(base):
-            if d.startswith("v=") and os.path.exists(
-                os.path.join(base, d, "_SUCCESS")
+        for st in fs.listStatus(base):
+            nm = st.getPath().getName()
+            if nm.startswith("v=") and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
             ):
-                out.append(int(d[2:]))
+                out.append(int(nm[2:]))
         return sorted(out)
 
     def expire_snapshots(self, name: str, keep_last: int = 2) -> List[int]:
