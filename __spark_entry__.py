@@ -36,22 +36,40 @@ def _tuned(spark: SparkSession) -> SparkSession:
     here = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(here, "arabicner_spark.zip")
     try:
+        import zipfile
+
         pkg = os.path.join(here, "arabicner_spark")
-        src_mtime = max(
-            os.path.getmtime(os.path.join(r, f))
+        sources = sorted(
+            os.path.join(r, f)
             for r, _d, fs in os.walk(pkg)
             for f in fs
             if f.endswith(".py")
         )
-        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
-            import zipfile
+        expected = [os.path.relpath(p, here) for p in sources]
+        src_mtime = max(os.path.getmtime(p) for p in sources)
 
-            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-                for r, _d, fs in os.walk(pkg):
-                    for f in sorted(fs):
-                        if f.endswith(".py"):
-                            p = os.path.join(r, f)
-                            z.write(p, os.path.relpath(p, here))
+        def _stale() -> bool:
+            if not os.path.exists(zip_path):
+                return True
+            if os.path.getmtime(zip_path) < src_mtime:
+                return True
+            # name-set check: a DELETED source never bumps max-mtime, and
+            # a truncated zip (interrupted build) has a short namelist
+            try:
+                with zipfile.ZipFile(zip_path) as z:
+                    return sorted(z.namelist()) != expected
+            except Exception:
+                return True  # unreadable/corrupt zip => rebuild
+
+        if _stale():
+            # build to a temp sibling and os.replace() — atomic on POSIX,
+            # so an interrupted build can never leave a truncated zip
+            # with a fresh mtime masquerading as current
+            tmp = zip_path + ".tmp"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+                for p in sources:
+                    z.write(p, os.path.relpath(p, here))
+            os.replace(tmp, zip_path)
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass

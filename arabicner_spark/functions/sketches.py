@@ -122,11 +122,24 @@ def heavy_hitters_exact(df: DataFrame, col: str, s: int = 20) -> DataFrame:
 
 
 def heavy_hitters_mg(df: DataFrame, col: str, k: int = 8) -> DataFrame:
-    """Misra-Gries summary, distributed: each partition keeps a
-    k-counter MG summary (mapPartitions — output is summary-sized, at
-    most k rows per partition, never data-sized), summaries merge by
-    summing per-value estimates, and the merged estimates are lowered
-    by the (k+1)-th largest to restore the MG underestimate invariant.
+    """Misra-Gries summary, distributed and Arrow-vectorized: each
+    partition folds its Arrow batches into a k-counter MG summary
+    (``mapInPandas`` iterator form — per-batch ``value_counts`` merged
+    into the running summary, then trimmed by the (k+1)-th largest
+    counter; output is summary-sized, at most k rows per partition,
+    never data-sized).  Partition summaries merge by summing per-value
+    estimates, lowered by the (k+1)-th largest to restore the MG
+    underestimate invariant.
+
+    The batch-fold is the mergeable-summaries formulation of MG
+    (Agarwal et al.): subtracting the (k+1)-th largest counter from
+    all counters removes >= (k+1) x that amount of total weight, so
+    the per-value underestimate stays <= n/(k+1) exactly as in the
+    per-row decrement form — but the hot path is pandas
+    ``value_counts`` + Series arithmetic over Arrow batches, not a
+    Python loop per row (this was the repo's last per-row-Python
+    path; the rewrite measured >=5x over the rdd.mapPartitions form,
+    see COVERAGE.md).
 
     Guarantee (property-tested): for every value,
     ``true - n/(k+1) <= est <= true`` — so any value with frequency
@@ -134,27 +147,29 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 8) -> DataFrame:
     partition layout (inherent to MG), so this is the
     streaming/constant-memory path; exact two-pass above is the gate.
     """
-    def mg(rows):
-        counters: dict = {}
-        for r in rows:
-            v = r[0]
-            if v in counters:
-                counters[v] += 1
-            elif len(counters) < k:
-                counters[v] = 1
-            else:
-                for key in list(counters):
-                    counters[key] -= 1
-                    if counters[key] == 0:
-                        del counters[key]
-        return iter(counters.items())
 
-    parts = df.select(F.col(col).cast("string")).rdd.mapPartitions(mg)
-    merged = (
-        parts.toDF(["val", "est"])
-        .groupBy("val")
-        .agg(F.sum("est").cast("bigint").alias("est"))
+    def mg_fold(batches):
+        import pandas as pd
+
+        state = None  # pd.Series: value -> MG counter
+        for pdf in batches:
+            vc = pdf["val"].value_counts()
+            state = vc if state is None else state.add(vc, fill_value=0)
+            if len(state) > k:
+                state = state.sort_values(ascending=False)
+                cut = state.iloc[k]  # the (k+1)-th largest counter
+                state = state.iloc[: k]  # ranks k+1.. are <= cut: all drop
+                state = state - cut
+                state = state[state > 0]
+        if state is not None and len(state):
+            yield pd.DataFrame(
+                {"val": state.index.astype(str), "est": state.values.astype("int64")}
+            )
+
+    parts = df.select(F.col(col).cast("string").alias("val")).mapInPandas(
+        mg_fold, "val string, est long"
     )
+    merged = parts.groupBy("val").agg(F.sum("est").cast("bigint").alias("est"))
     # subtract the (k+1)-th largest merged estimate — but only when
     # more than k values survived the merge (otherwise nothing to trim)
     kth = (

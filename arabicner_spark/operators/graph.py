@@ -381,6 +381,8 @@ def kcore(
     survivor set (both keyed on a node id) + one count agg — map-side
     combinable, state one row per surviving node, localCheckpoint per
     round."""
+    if rounds < 1:
+        raise ValueError(f"kcore needs rounds >= 1, got {rounds}")
     und = undirected_edges(edges, src, dst)
     adj = (
         und.select(F.col("a").alias("node"), F.col("b").alias("peer"))
@@ -397,3 +399,54 @@ def kcore(
         surv = deg.where(F.col("deg") >= k).localCheckpoint(eager=True)
         nodes = surv.select("node")
     return surv.select("node", F.col("deg").cast("int").alias("deg"))
+
+
+def kcore_fixpoint(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, int]:
+    """TRUE k-core: peel until the survivor set is stable — the
+    fixpoint the bounded :func:`kcore` approximates from above (a
+    fixed 3-round peel returns a superset on deep peeling chains,
+    e.g. a path graph where each round only erodes the two ends).
+
+    -> (survivors (node, deg int), rounds_run).  Convergence signal =
+    survivor COUNT unchanged between rounds: the survivor set is
+    monotonically shrinking (each round intersects the previous), so
+    equal counts imply equal sets — one cheap count() per round, no
+    set comparison join.  ``max_rounds`` caps the loop (a path of
+    length L needs ~L/2 rounds; 50 covers any graph whose peel depth
+    a 100-TB job would tolerate — deeper peels should switch to the
+    O(log n) Henzinger-style batched peel before raising the cap).
+
+    Same per-round plan shape as :func:`kcore`: two node-keyed
+    semi-joins + one count agg, localCheckpoint per round.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"kcore_fixpoint needs max_rounds >= 1, got {max_rounds}")
+    und = undirected_edges(edges, src, dst)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("peer"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("peer")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = adj.select("node").distinct()
+    n_prev = nodes.count()
+    surv = nodes.select("node", F.lit(0).alias("deg"))  # rounds=0 degenerate
+    rounds_run = 0
+    for _ in range(max_rounds):
+        e = adj.join(nodes, "node").join(
+            nodes.select(F.col("node").alias("peer")), "peer"
+        )
+        deg = e.groupBy("node").agg(F.count("*").alias("deg"))
+        surv = deg.where(F.col("deg") >= k).localCheckpoint(eager=True)
+        rounds_run += 1
+        n_now = surv.count()
+        nodes = surv.select("node")
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return surv.select("node", F.col("deg").cast("int").alias("deg")), rounds_run

@@ -4624,7 +4624,14 @@ def q_snapshot_time_travel(spark, sf_dir):
 
     old = agg(io.read_snapshot("docs", version=v1), 1)
     latest = agg(io.read_snapshot("docs"), 2)
-    return old.unionByName(latest)
+    # materialize the (tiny) aggregates, then reclaim the snapshot root
+    # — returning a lazy df over the tempdir would leak two copies of
+    # the documents table per gate/bench invocation
+    out = old.unionByName(latest).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 SQL_SNAPSHOT_TIME_TRAVEL = """

@@ -142,12 +142,30 @@ class TableIO:
         readers (a reader of v=N is undisturbed by the v=N+1 commit).
         """
         if self.mode == "iceberg":
-            df.writeTo(f"{self.root}.{name}").using("iceberg").createOrReplace()
-            return len(
-                self.spark.sql(
-                    f"SELECT snapshot_id FROM {self.root}.{name}.snapshots"
-                ).collect()
+            # First commit creates the table; later commits REPLACE the
+            # rows via the V2 overwrite (a new snapshot on the SAME
+            # table — createOrReplace would drop and recreate
+            # schema/partition-spec and orphan the snapshot history).
+            tbl = f"{self.root}.{name}"
+            if self.spark.catalog.tableExists(tbl):
+                from pyspark.sql import functions as F
+
+                df.writeTo(tbl).using("iceberg").overwrite(F.lit(True))
+            else:
+                df.writeTo(tbl).using("iceberg").createOrReplace()
+            # Pin the committed snapshot under an immutable named ref
+            # (tag) — positional ordinals over .snapshots silently shift
+            # when compaction/expiry rewrites history, tags never do.
+            row = self.spark.sql(
+                f"SELECT snapshot_id FROM {tbl}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+            n = (max(self.snapshot_versions(name), default=0)) + 1
+            self.spark.sql(
+                f"ALTER TABLE {tbl} CREATE TAG `v{n}` "
+                f"AS OF VERSION {row.snapshot_id}"
             )
+            return n
         n = (max(self.snapshot_versions(name), default=0)) + 1
         df.write.mode("errorifexists").parquet(
             os.path.join(self._path(name), f"v={n}")
@@ -158,11 +176,17 @@ class TableIO:
         """Committed version numbers, ascending (parquet facade: only
         dirs whose write completed — _SUCCESS present)."""
         if self.mode == "iceberg":
+            # versions are the v<N> tags written by write_snapshot — a
+            # named-ref lookup in .refs, immune to history rewrites
             rows = self.spark.sql(
-                f"SELECT snapshot_id FROM {self.root}.{name}.snapshots "
-                "ORDER BY committed_at"
+                f"SELECT name FROM {self.root}.{name}.refs WHERE type = 'TAG'"
             ).collect()
-            return list(range(1, len(rows) + 1))
+            out = []
+            for r in rows:
+                nm = r.name
+                if nm.startswith("v") and nm[1:].isdigit():
+                    out.append(int(nm[1:]))
+            return sorted(out)
         # Hadoop FileSystem listing, not os.listdir: the facade path may
         # carry any scheme (file:, hdfs:, s3a:) — same rule as the
         # expire/delete paths and incremental.save_state's cleanup.
@@ -186,11 +210,19 @@ class TableIO:
         with time travel): drop all but the newest ``keep_last``
         versions and return the expired version numbers.  Deletion goes
         through the Hadoop FileSystem API so the facade works on any
-        scheme, same rule as incremental.save_state.  iceberg mode is a
-        no-op here (run the catalog's expire_snapshots procedure — it
-        must also clean orphan data files, which the engine owns)."""
+        scheme, same rule as incremental.save_state.  iceberg mode
+        drops the expired v<N> TAGS (so the facade's version list
+        shrinks identically on both backends) — the data/metadata
+        files themselves are the engine's to reclaim via the catalog's
+        expire_snapshots procedure, which must run separately."""
         if self.mode == "iceberg":
-            return []
+            versions = self.snapshot_versions(name)
+            drop = versions[:-keep_last] if keep_last > 0 else versions
+            for v in drop:
+                self.spark.sql(
+                    f"ALTER TABLE {self.root}.{name} DROP TAG `v{v}`"
+                )
+            return drop
         versions = self.snapshot_versions(name)
         drop = versions[:-keep_last] if keep_last > 0 else versions
         jvm = self.spark._jvm
@@ -213,11 +245,9 @@ class TableIO:
         if v not in versions:
             raise ValueError(f"unknown snapshot version {v} for {name}")
         if self.mode == "iceberg":
-            row = self.spark.sql(
-                f"SELECT snapshot_id FROM {self.root}.{name}.snapshots "
-                f"ORDER BY committed_at LIMIT 1 OFFSET {v - 1}"
-            ).first()
-            return self.spark.read.option("snapshot-id", row.snapshot_id).table(
+            # read the immutable named ref, not a positional ordinal —
+            # tag reads survive compaction/expiry history rewrites
+            return self.spark.read.option("tag", f"v{v}").table(
                 f"{self.root}.{name}"
             )
         return self.spark.read.parquet(os.path.join(self._path(name), f"v={v}"))

@@ -188,3 +188,48 @@ def test_kcore_bounded_rounds_vs_fixpoint(spark):
     edges = spark.createDataFrame(path, "src bigint, dst bigint")
     assert kcore(edges, k=2, rounds=1).count() > 0
     assert kcore(edges, k=2, rounds=4).count() == 0
+
+
+def test_kcore_fixpoint_converges_where_bounded_underpeels(spark):
+    """The fixpoint peel finishes what a 3-round bounded peel cannot:
+    a 12-node path erodes two ends per round (true 2-core = empty,
+    needs ~6 rounds), so kcore(rounds=3) returns a non-empty superset
+    while kcore_fixpoint reaches the empty fixpoint and reports the
+    rounds it took.  A triangle glued to the path survives both."""
+    from arabicner_spark.operators.graph import kcore, kcore_fixpoint
+
+    path = [(i, i + 1) for i in range(11)]  # 12-node path: deep peel
+    tri = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(path + tri, "src bigint, dst bigint")
+
+    bounded = kcore(edges, k=2, rounds=3)
+    fixed, rounds_run = kcore_fixpoint(edges, k=2)
+    out = {(r.node, r.deg) for r in fixed.collect()}
+
+    assert bounded.count() > 3  # under-peeled: path remnants remain
+    assert out == {(100, 2), (101, 2), (102, 2)}  # true 2-core
+    assert rounds_run >= 5  # the deep chain actually took many rounds
+
+
+def test_kcore_fixpoint_stops_immediately_on_stable_graph(spark):
+    """A clique is its own 2-core: the survivor count is stable after
+    round 1, so the loop must stop at 2 rounds (1 peel + 1 confirm)."""
+    from arabicner_spark.operators.graph import kcore_fixpoint
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(clique, "src bigint, dst bigint")
+    fixed, rounds_run = kcore_fixpoint(edges, k=2)
+    assert fixed.count() == 4
+    assert rounds_run == 1  # no node dropped in round 1 -> stop
+
+
+def test_kcore_rejects_nonpositive_rounds(spark):
+    import pytest as _pytest
+
+    from arabicner_spark.operators.graph import kcore, kcore_fixpoint
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with _pytest.raises(ValueError):
+        kcore(edges, k=2, rounds=0)
+    with _pytest.raises(ValueError):
+        kcore_fixpoint(edges, k=2, max_rounds=0)

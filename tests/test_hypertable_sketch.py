@@ -89,3 +89,14 @@ def test_misra_gries_bounds_and_guaranteed_presence(spark):
         for v, c in truth.items():
             if c > n / (k + 1):
                 assert v in est, (v, c)
+
+
+def test_misra_gries_empty_input_yields_empty_summary(spark):
+    """Empty input must produce an empty, correctly-typed summary —
+    the rdd.mapPartitions form crashed on schema inference here."""
+    from arabicner_spark.functions.sketches import heavy_hitters_mg
+
+    df = spark.createDataFrame([], "v string")
+    out = heavy_hitters_mg(df, "v", k=4)
+    assert out.collect() == []
+    assert dict(out.dtypes) == {"val": "string", "est": "bigint"}

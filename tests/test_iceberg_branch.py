@@ -92,6 +92,96 @@ def test_parquet_snapshot_id_changes_on_rewrite(spark, tmp_path):
     assert s2 == parquet_fingerprint(str(tmp_path / "t"))
 
 
+def _snapshot_mock_spark(existing_tags, latest_snapshot_id=991122):
+    """A MagicMock session whose sql() answers the three metadata
+    queries the snapshot facade issues: .snapshots latest-id, .refs tag
+    listing, and DDL (CREATE/DROP TAG) as a no-op."""
+    sp = MagicMock()
+
+    def fake_sql(q):
+        res = MagicMock()
+        if ".snapshots" in q:
+            row = MagicMock()
+            row.snapshot_id = latest_snapshot_id
+            res.first.return_value = row
+        elif ".refs" in q:
+            rows = []
+            for t in existing_tags:
+                r = MagicMock()
+                r.name = t
+                rows.append(r)
+            res.collect.return_value = rows
+        return res
+
+    sp.sql.side_effect = fake_sql
+    return sp
+
+
+def test_iceberg_write_snapshot_first_commit_creates_and_tags(spark):
+    """First commit: createOrReplace + CREATE TAG v1 pinned to the
+    snapshot_id the commit produced (never a positional ordinal)."""
+    sp = _snapshot_mock_spark(existing_tags=[], latest_snapshot_id=424242)
+    sp.catalog.tableExists.return_value = False
+    df = MagicMock()
+    w = _fluent_writer()
+    df.writeTo.return_value = w
+    io = TableIO(spark=sp, root="kg.prod", mode="iceberg")
+
+    assert io.write_snapshot(df, "docs") == 1
+
+    w.createOrReplace.assert_called_once_with()
+    w.overwrite.assert_not_called()
+    ddl = [c.args[0] for c in sp.sql.call_args_list if "CREATE TAG" in c.args[0]]
+    assert len(ddl) == 1
+    assert "ALTER TABLE kg.prod.docs CREATE TAG `v1` AS OF VERSION 424242" in ddl[0]
+
+
+def test_iceberg_write_snapshot_later_commit_overwrites_not_replaces(spark):
+    """Later commits must be row overwrites (new snapshot on the SAME
+    table) — createOrReplace would reset schema/spec and orphan the
+    snapshot history — and the new tag continues the v<N> sequence."""
+    sp = _snapshot_mock_spark(existing_tags=["v1", "v2", "main"])
+    sp.catalog.tableExists.return_value = True
+    df = MagicMock()
+    w = _fluent_writer()
+    w.overwrite.return_value = None
+    df.writeTo.return_value = w
+    io = TableIO(spark=sp, root="kg.prod", mode="iceberg")
+
+    assert io.write_snapshot(df, "docs") == 3
+
+    w.createOrReplace.assert_not_called()
+    assert w.overwrite.call_count == 1
+    ddl = [c.args[0] for c in sp.sql.call_args_list if "CREATE TAG" in c.args[0]]
+    assert "CREATE TAG `v3`" in ddl[0]
+
+
+def test_iceberg_snapshot_versions_reads_tags_not_ordinals():
+    """Version list = the v<N> tags from .refs; non-version refs
+    (main, user tags) are ignored."""
+    sp = _snapshot_mock_spark(existing_tags=["main", "v2", "v1", "release-x"])
+    io = TableIO(spark=sp, root="kg.prod", mode="iceberg")
+    assert io.snapshot_versions("docs") == [1, 2]
+    (q,), _ = sp.sql.call_args
+    assert "kg.prod.docs.refs" in q and "TAG" in q
+
+
+def test_iceberg_read_snapshot_uses_tag_ref():
+    sp = _snapshot_mock_spark(existing_tags=["v1", "v2"])
+    io = TableIO(spark=sp, root="kg.prod", mode="iceberg")
+    io.read_snapshot("docs", version=1)
+    sp.read.option.assert_called_once_with("tag", "v1")
+    sp.read.option.return_value.table.assert_called_once_with("kg.prod.docs")
+
+
+def test_iceberg_expire_snapshots_drops_old_tags():
+    sp = _snapshot_mock_spark(existing_tags=["v1", "v2", "v3"])
+    io = TableIO(spark=sp, root="kg.prod", mode="iceberg")
+    assert io.expire_snapshots("docs", keep_last=1) == [1, 2]
+    ddl = [c.args[0] for c in sp.sql.call_args_list if "DROP TAG" in c.args[0]]
+    assert "DROP TAG `v1`" in ddl[0] and "DROP TAG `v2`" in ddl[1]
+
+
 def _spark_with_conf(pairs):
     sp = MagicMock()
     sp.sparkContext.getConf.return_value.getAll.return_value = pairs
