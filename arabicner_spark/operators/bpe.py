@@ -115,6 +115,246 @@ def apply_merge(sym_col: Column, x: str, y: str) -> Column:
     )
 
 
+def apply_merges_batch(sym_col: Column, merges: List[Tuple[str, str]]) -> Column:
+    """Apply an INTERACTION-FREE batch of merges in one expression
+    fold.  Valid when no two batch members interleave anywhere in the
+    data (pairwise ``dmat`` bounds all zero — they may still share a
+    first or last symbol) and no member contains another's x+y concat:
+    then no position ever offers two merges a choice, so one
+    simultaneous left-to-right scan equals applying the merges
+    sequentially in any order — each step looks the (tail, symbol) key
+    up in a literal map instead of testing one pair.  Interacting
+    batches must chain :func:`apply_merge` folds in priority order
+    instead."""
+    m = F.create_map(
+        *[
+            F.lit(v)
+            for (x, y) in merges
+            for v in (x + PAIR_SEP + y, x + y)
+        ]
+    )
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & F.element_at(
+                m, F.concat(F.element_at(acc, -1), F.lit(PAIR_SEP), s)
+            ).isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.element_at(
+                        m, F.concat(F.element_at(acc, -1), F.lit(PAIR_SEP), s)
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def pair_interactions(
+    syms_df: DataFrame, cand_pairs: List[str]
+) -> Tuple[dict, dict]:
+    """One bounded triple scan -> the two tables the greedy-safe batch
+    selection needs, for candidate pair strings "x y":
+
+    - ``tmax[pair]``: max count of any adjacent symbol TRIPLE containing
+      (x, y) as its prefix or suffix pair.  Bounds every pair a merge of
+      (x, y) can CREATE: a new pair (t, xy) has one occurrence per
+      "t x y" adjacency, (xy, u) per "x y u", and (xy, xy) per
+      "x y x y" <= both of its triples.
+    - ``dmat[(p, q)]``: summed count of triples whose prefix pair is p
+      and suffix pair is q (both candidates).  Bounds how many
+      occurrences of q a merge of p can DESTROY: a destroyed q=(u,v)
+      occurrence has u or v consumed by a p=(x,y) merge event, which
+      forces the adjacency x,y(=u),v or u,v(=x),y — i.e. an
+      interleaving triple (shared middle symbol).  Pairs sharing only
+      their first or only their last symbol never interleave: D = 0.
+
+    Both bounds are computed on the round-start state and stay valid at
+    every intra-batch step: batch merges only coarsen words (adjacent
+    symbols in a later state were adjacent at round start), so every
+    later-event triple maps to a round-start triple already counted.
+    """
+    if not cand_pairs:
+        return {}, {}
+    n = (F.size("syms") - 2).cast("int")
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    s = lambda i: F.element_at(F.col("syms"), i)  # noqa: E731
+    trip = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.concat_ws(PAIR_SEP, s(i), s(i + 1), s(i + 2)).alias("t"),
+            F.concat_ws(PAIR_SEP, s(i), s(i + 1)).alias("pre"),
+            F.concat_ws(PAIR_SEP, s(i + 1), s(i + 2)).alias("suf"),
+        ),
+    )
+    per_triple = (
+        syms_df.select("freq", F.explode(trip).alias("tr"))
+        .select("freq", "tr.t", "tr.pre", "tr.suf")
+        .where(F.col("pre").isin(cand_pairs) | F.col("suf").isin(cand_pairs))
+        .groupBy("t", "pre", "suf")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    t_rows = (
+        per_triple.select(
+            F.explode(
+                F.array_distinct(F.array("pre", "suf"))
+            ).alias("pair"),
+            "cnt",
+        )
+        .where(F.col("pair").isin(cand_pairs))
+        .groupBy("pair")
+        .agg(F.max("cnt").alias("v"))
+        .select(F.lit("T").alias("k"), "pair", F.lit("").alias("pair2"), "v")
+    )
+    d_rows = (
+        per_triple.where(
+            F.col("pre").isin(cand_pairs) & F.col("suf").isin(cand_pairs)
+        )
+        .groupBy("pre", "suf")
+        .agg(F.sum("cnt").alias("v"))
+        .select(
+            F.lit("D").alias("k"),
+            F.col("pre").alias("pair"),
+            F.col("suf").alias("pair2"),
+            "v",
+        )
+    )
+    tmax: dict = {}
+    dmat: dict = {}
+    for r in t_rows.unionByName(d_rows).collect():
+        if r["k"] == "T":
+            tmax[r["pair"]] = r["v"]
+        else:
+            dmat[(r["pair"], r["pair2"])] = r["v"]
+    return tmax, dmat
+
+
+def _greedy_safe_batch(
+    cands: List[Tuple[str, int]],
+    tmax: dict,
+    dmat: dict,
+    batch: int,
+    min_count: int,
+) -> Tuple[List[Tuple[str, str]], bool]:
+    """Maximal PREFIX of the (count desc, pair asc) candidate order
+    that provably reproduces the serial greedy sequence, and whether
+    the accepted set is pairwise interaction-free (so a simultaneous
+    shared-map fold may apply it instead of sequential chained folds).
+
+    A candidate q with round-start count n joins the batch iff, at its
+    serial step, it is STILL the strict argmax no matter how the
+    accepted merges played out:
+
+    - q contains no accepted x+y concat (such a pair's count can GROW
+      with the merge — unbounded above, stop);
+    - low = n - sum of interleave bounds dmat vs every accepted p is
+      q's worst-case serial count (old pairs never increase);
+    - low >= min_count (serial must not have stopped first);
+    - low > t_cap = max tmax over accepted (strictly beats every pair
+      the accepted merges can CREATE — ties lose: serial tie-break is
+      by pair string, which a new pair could win);
+    - low > next candidate's count, or the decrement is provably zero
+      and n >= next (equal counts resolve by pair asc = list order).
+      The final candidate uses its own n as "next": pairs beyond the
+      truncated top-4*batch list rank below it at round start, which
+      only suffices when q's count provably did not move.
+
+    Stops at the first violation — pairs ranked between accepted
+    members must themselves be accepted, or the serial order beyond
+    them is unknown without a recount."""
+    accepted: List[Tuple[str, str]] = []
+    acc_strs: List[str] = []
+    concats: set = set()
+    t_cap = 0
+    clean = True
+    for j, (pair, cnt) in enumerate(cands):
+        if cnt < min_count or len(accepted) >= batch:
+            break
+        x, y = pair.split(PAIR_SEP, 1)
+        if accepted:
+            if x in concats or y in concats:
+                break
+            d = sum(
+                dmat.get((p, pair), 0) + dmat.get((pair, p), 0)
+                for p in acc_strs
+            )
+            low = cnt - d
+            nxt = cands[j + 1][1] if j + 1 < len(cands) else cnt
+            if low < min_count or low <= t_cap:
+                break
+            if not (low > nxt or (d == 0 and cnt >= nxt)):
+                break
+            if d > 0:
+                clean = False
+        accepted.append((x, y))
+        acc_strs.append(pair)
+        concats.add(x + y)
+        t_cap = max(t_cap, tmax.get(pair, 0))
+    return accepted, clean
+
+
+def train_bpe_batched(
+    words: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    batch: int = 16,
+) -> Tuple[List[Tuple[str, str]], DataFrame]:
+    """Batched BPE training: IDENTICAL merge sequence to
+    :func:`train_bpe` (property-tested on interacting corpora), but up
+    to ``batch`` greedy-safe merges are selected and applied per Spark
+    round, amortizing the per-round job latency that makes the serial
+    loop one full job per merge (~4.3 s/merge at 2M words — a real
+    30k-merge tokenizer would need ~36 h of round-trips).
+
+    Per round: one pair-count agg -> top-``4*batch`` candidates to the
+    driver (TakeOrderedAndProject); one bounded triple scan over only
+    those candidates (:func:`pair_interactions` — both the new-pair
+    cap and the pairwise interleave decrements); one fold pass +
+    localCheckpoint.  Interaction-free batches apply as a single
+    shared-map fold, interacting-but-still-safe ones as sequential
+    chained folds (serial order) in the same projection.  Worst case
+    (every top candidate truly interacts) degenerates to the serial
+    loop; the Zipfian receipt corpus measures the per-round batch fill
+    in COVERAGE.md."""
+    syms = words.select(
+        "word", "freq", char_symbols(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: List[Tuple[str, str]] = []
+    while len(merges) < n_merges:
+        cands = [
+            (r["pair"], r["n"])
+            for r in symbol_pair_counts(syms)
+            .orderBy(F.desc("n"), "pair")
+            .limit(4 * batch)
+            .collect()
+        ]
+        if not cands or cands[0][1] < min_count:
+            break
+        room = min(batch, n_merges - len(merges))
+        if room <= 1:
+            tmax, dmat = {}, {}
+        else:
+            tmax, dmat = pair_interactions(syms, [p for p, _ in cands])
+        step, clean = _greedy_safe_batch(cands, tmax, dmat, room, min_count)
+        if not step:
+            break
+        merges.extend(step)
+        if clean:
+            col = apply_merges_batch(F.col("syms"), step)
+        else:
+            col = F.col("syms")
+            for x, y in step:
+                col = apply_merge(col, x, y)
+        syms = syms.withColumn("syms", col).localCheckpoint(eager=True)
+    return merges, syms
+
+
 def train_bpe(
     words: DataFrame, n_merges: int, min_count: int = 2
 ) -> Tuple[List[Tuple[str, str]], DataFrame]:

@@ -81,6 +81,27 @@ def _update(ev: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def centroids_fp_from_ev(
+    ev: DataFrame, id_col: str = "vec_id", k: int = 8, updates: int = 1
+) -> DataFrame:
+    """Refined centroid table (cl, dim, cval) after ``updates`` Lloyd
+    update steps from the id<k seed — the centroids a
+    ``kmeans_fp(rounds=updates+1)`` run assigns against on its final
+    round.  ``ev`` is the long-format (id, dim, val) table from
+    :func:`explode_fp` (checkpoint it first if reused).  This is the
+    IVF index-build path: testdata_queries.ivf_ranked assigns every
+    vector against these refined centroids instead of the raw id<k
+    seed vectors (the r5 gap: refinement existed only as a standalone
+    query while the searched index stayed unrefined)."""
+    cents = ev.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cl"), "dim", F.col("val").alias("cval")
+    )
+    for _ in range(updates):
+        assign = _assign(ev, cents, id_col)
+        cents = _update(ev, assign, id_col).localCheckpoint(eager=True)
+    return cents
+
+
 def kmeans_fp(
     vectors: DataFrame,
     id_col: str = "vec_id",

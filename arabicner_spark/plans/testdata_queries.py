@@ -1237,14 +1237,90 @@ SELECT q, neighbor, cos, CAST(rank AS INTEGER) AS rank FROM (
 IVF_CELLS = 8  # coarse centroids = vectors with vec_id < 8 (deterministic)
 IVF_NPROBE = 2
 
+# one fixed-point Lloyd assign round (shared by SQL_ANN_KMEANS and the
+# refined-index CTEs): exact int64 L2² against centroid table c{p},
+# arg-min with (dist, cl) tie order
+_SQL_KM_ASSIGN = """d{r} AS (
+  SELECT ev.vec_id, c.cl,
+         CAST(SUM((ev.val - c.cval) * (ev.val - c.cval)) AS BIGINT) AS dist
+  FROM ev JOIN c{p} c ON c.dim = ev.dim GROUP BY ev.vec_id, c.cl
+),
+a{r} AS (
+  SELECT vec_id, cl, dist FROM d{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1
+)"""
+
+# the REFINED IVF index (mirrors ivf_ranked): fixed-point vectors, c0
+# seed = id<IVF_CELLS, one Lloyd update -> c1, every vector ranked by
+# exact int64 distance to c1.  Expects a prior CTE `e(vec_id, v)`.
+_SQL_IVF_REFINED = f"""ev AS (
+  SELECT vec_id, i AS dim, CAST(floor(v[i] * 1000000) AS BIGINT) AS val
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, dim, val AS cval
+       FROM ev WHERE vec_id < {IVF_CELLS}),
+{_SQL_KM_ASSIGN.format(r=1, p=0)},
+c1 AS (
+  SELECT a1.cl, ev.dim,
+         CAST(CAST(sign(CAST(SUM(ev.val) AS BIGINT)) AS BIGINT)
+              * (abs(CAST(SUM(ev.val) AS BIGINT)) // COUNT(*)) AS BIGINT) AS cval
+  FROM ev JOIN a1 ON a1.vec_id = ev.vec_id GROUP BY a1.cl, ev.dim
+),
+d2 AS (
+  SELECT ev.vec_id, c.cl,
+         CAST(SUM((ev.val - c.cval) * (ev.val - c.cval)) AS BIGINT) AS dist
+  FROM ev JOIN c1 c ON c.dim = ev.dim GROUP BY ev.vec_id, c.cl
+),
+cranked AS (
+  SELECT vec_id, cl AS cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS cr
+  FROM d2
+),
+assigned AS (SELECT vec_id, cid AS cell FROM cranked WHERE cr = 1),
+probes AS (SELECT vec_id AS q, cid AS cell FROM cranked
+           WHERE cr <= {IVF_NPROBE} AND vec_id < 20)"""
+
 
 def ivf_ranked(e: DataFrame) -> DataFrame:
-    """Per-vector centroid ranking for the IVF index: every vector
-    scored against the IVF_CELLS coarse centroids (one broadcast of 8
-    rows — a constant of the index, not of data size), ranked by
-    round(cos,4) with centroid-id tie-break.  cr=1 is the assignment;
-    cr<=nprobe are the probe cells.  Shared by q_ann_ivf and the bench's
-    cell-balance leg so the measured fan-in IS the query's layout."""
+    """Per-vector centroid ranking for the IVF index, against REFINED
+    centroids: the id<IVF_CELLS seed vectors are refined by one
+    fixed-point Lloyd update (operators/kmeans.centroids_fp_from_ev —
+    exactly the c1 table the gated ann_kmeans_refine query's 2-round
+    run assigns against), then every vector is ranked by exact int64
+    L2² distance to the k*dims broadcast centroid table, ties to the
+    smaller centroid id.  cr=1 is the assignment; cr<=nprobe are the
+    probe cells.  -> (vec_id, cid, dist_fp, cr).  Shared by q_ann_ivf,
+    q_ann_recall and the bench's cell-balance leg so the measured
+    fan-in IS the searched layout."""
+    from arabicner_spark.operators.kmeans import (
+        centroids_fp_from_ev,
+        explode_fp,
+    )
+
+    ev = explode_fp(e, "vec_id", "v").localCheckpoint(eager=True)
+    cents = centroids_fp_from_ev(ev, "vec_id", k=IVF_CELLS, updates=1)
+    d = (
+        ev.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cl")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+            .cast("long")
+            .alias("dist_fp")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist_fp").asc(), F.col("cid").asc()
+    )
+    return d.select("vec_id", F.col("cl").alias("cid"), "dist_fp").withColumn(
+        "cr", F.row_number().over(w_assign)
+    )
+
+
+def ivf_ranked_raw(e: DataFrame) -> DataFrame:
+    """The pre-r6 UNREFINED index (centroids = raw id<IVF_CELLS
+    vectors, cosine ranking): kept for the refined-vs-raw recall
+    comparison receipt (tests/test_ann_quality.py) — not searched by
+    any gated query anymore."""
     cents = e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("vc")
     )
@@ -1273,6 +1349,14 @@ def q_ann_recall(spark, sf_dir):
     oracle-gated number — the metric a 100-TB retrieval pipeline
     monitors when it tunes nprobe/cells.  All ranking on round(cos,4)
     with id tie-breaks, so both metric inputs are engine-exact."""
+    return _ann_recall_df(spark, sf_dir, ivf_ranked)
+
+
+def _ann_recall_df(spark, sf_dir, ranker) -> DataFrame:
+    """recall@K + RR of an IVF search vs brute force, parameterized by
+    the centroid-ranking function so tests/test_ann_quality.py can
+    compare the refined index (ivf_ranked) against the unrefined one
+    (ivf_ranked_raw) on identical metric plumbing."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1297,12 +1381,20 @@ def q_ann_recall(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
 
-    # approx: the IVF search (same structure as q_ann_ivf), top-K
-    ranked = ivf_ranked(e)
-    assigned = ranked.where(F.col("cr") == 1).select("vec_id", "v", F.col("cid").alias("cell"))
-    probes = ranked.where(
-        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < 20)
-    ).select(F.col("vec_id").alias("q"), F.col("v").alias("vq"), F.col("cid").alias("cell"))
+    # approx: the IVF search (same structure as q_ann_ivf), top-K;
+    # vectors re-joined after the cr filters so the long-format
+    # ranking never carries arrays
+    ranked = ranker(e).select("vec_id", "cid", "cr")
+    assigned = (
+        ranked.where(F.col("cr") == 1)
+        .join(e, "vec_id")
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    probes = (
+        ranked.where((F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < 20))
+        .join(e, "vec_id")
+        .select(F.col("vec_id").alias("q"), F.col("v").alias("vq"), F.col("cid").alias("cell"))
+    )
     approx = (
         probes.join(assigned, "cell")
         .where(F.col("q") != F.col("vec_id"))
@@ -1354,21 +1446,7 @@ truth AS (
     SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rnk
     FROM bscored) WHERE rnk <= {ANN_EVAL_K}
 ),
-cents AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {IVF_CELLS}),
-scored_c AS (
-  SELECT e.vec_id, c.cid,
-         round(list_dot_product(e.v, c.vc) /
-               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.vc, c.vc))), 4) AS sim
-  FROM e CROSS JOIN cents c
-),
-cranked AS (
-  SELECT vec_id, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS cr
-  FROM scored_c
-),
-assigned AS (SELECT vec_id, cid AS cell FROM cranked WHERE cr = 1),
-probes AS (SELECT vec_id AS q, cid AS cell FROM cranked
-           WHERE cr <= {IVF_NPROBE} AND vec_id < 20),
+{_SQL_IVF_REFINED},
 cand AS (
   SELECT DISTINCT p.q, a.vec_id AS neighbor
   FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q
@@ -1404,23 +1482,31 @@ SELECT CAST(-1 AS BIGINT), round(avg(recall_at_k), 4), round(avg(rr), 4) FROM pe
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
-    first IVF_CELLS vectors), every vector assigned to its nearest
-    centroid (one broadcast join against 8 rows — no shuffle), queries
-    probe their IVF_NPROBE nearest cells, exact cosine only within the
-    probed cells.  The cell id is the shuffle key of the search join —
-    the canonical IVF plan shape, scale-bounded by cell fan-in.
+    """IVF-style ANN over the REFINED index: the id<IVF_CELLS seed
+    centroids are refined by one fixed-point Lloyd update (the r6 wire
+    of ann_kmeans_refine into the index build), every vector assigned
+    to its nearest refined centroid by exact int64 L2² (broadcast
+    k*dims centroid table — no shuffle), queries probe their
+    IVF_NPROBE nearest cells, exact cosine only within the probed
+    cells.  The cell id is the shuffle key of the search join — the
+    canonical IVF plan shape, scale-bounded by cell fan-in.
 
-    Assignment/probing rank on round(cos,4) with centroid-id tie-break,
-    making the cell structure engine-portable and exact."""
+    Assignment/probing rank on int64 distance with centroid-id
+    tie-break, making the cell structure engine-portable and exact."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     ranked = ivf_ranked(e)
-    assigned = ranked.where(F.col("cr") == 1).select("vec_id", "v", F.col("cid").alias("cell"))
-    probes = ranked.where(
-        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < 20)
-    ).select(F.col("vec_id").alias("q"), F.col("v").alias("vq"), F.col("cid").alias("cell"))
+    assigned = (
+        ranked.where(F.col("cr") == 1)
+        .join(e, "vec_id")
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    probes = (
+        ranked.where((F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < 20))
+        .join(e, "vec_id")
+        .select(F.col("vec_id").alias("q"), F.col("v").alias("vq"), F.col("cid").alias("cell"))
+    )
 
     dot_q = F.aggregate(
         F.zip_with("vq", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -1442,21 +1528,7 @@ def q_ann_ivf(spark, sf_dir):
 
 SQL_ANN_IVF = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {IVF_CELLS}),
-scored_c AS (
-  SELECT e.vec_id, c.cid,
-         round(list_dot_product(e.v, c.vc) /
-               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.vc, c.vc))), 4) AS sim
-  FROM e CROSS JOIN cents c
-),
-ranked AS (
-  SELECT vec_id, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS cr
-  FROM scored_c
-),
-assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1),
-probes AS (SELECT vec_id AS q, cid AS cell FROM ranked
-           WHERE cr <= {IVF_NPROBE} AND vec_id < 20),
+{_SQL_IVF_REFINED},
 cand AS (
   SELECT DISTINCT p.q, a.vec_id AS neighbor
   FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q
@@ -4659,16 +4731,6 @@ def q_ann_kmeans(spark, sf_dir):
     )
     return kmeans_fp(e, "vec_id", "v", k=8, rounds=2)
 
-
-_SQL_KM_ASSIGN = """d{r} AS (
-  SELECT ev.vec_id, c.cl,
-         CAST(SUM((ev.val - c.cval) * (ev.val - c.cval)) AS BIGINT) AS dist
-  FROM ev JOIN c{p} c ON c.dim = ev.dim GROUP BY ev.vec_id, c.cl
-),
-a{r} AS (
-  SELECT vec_id, cl, dist FROM d{r}
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1
-)"""
 
 SQL_ANN_KMEANS = f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

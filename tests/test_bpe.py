@@ -107,3 +107,84 @@ def test_empty_word_yields_no_symbols_and_no_merges(spark):
     out = {r.word: list(r.syms) for r in syms.collect()}
     assert out[""] == []
     assert out["ab"] == ["ab"]
+
+def test_batched_equals_serial_on_classic_corpus(spark):
+    docs = spark.createDataFrame([(1, CORPUS)], "doc_id bigint, text string")
+    words = bpe.word_freqs(docs)
+    want_merges, want_df = bpe.train_bpe(words, n_merges=6)
+    got_merges, got_df = bpe.train_bpe_batched(words, n_merges=6, batch=4)
+    assert got_merges == want_merges
+    assert {r.word: list(r.syms) for r in got_df.collect()} == {
+        r.word: list(r.syms) for r in want_df.collect()
+    }
+
+
+def test_batched_rejects_created_pair_overtake(spark):
+    """The canonical naive-batching failure: merging the top pair
+    (a,b) CREATES (ab,c) with count 100, which serially outranks the
+    disjoint candidate (d,e)=60 — a disjointness-only batch would
+    merge (d,e) second and diverge.  The triple bound (a,b,c)=100 must
+    force a batch of exactly one here."""
+    rows = [("%d" % i, "abc") for i in range(100)] + [
+        ("x%d" % i, "de") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    words = bpe.word_freqs(docs)
+    want, _ = _python_bpe({r.word: r.freq for r in words.collect()}, n_merges=3)
+    assert want[:2] == [("a", "b"), ("ab", "c")]  # the trap is real
+    got, _ = bpe.train_bpe_batched(words, n_merges=3, batch=8)
+    assert got == want
+
+
+def test_batched_concat_collision_not_treated_disjoint(spark):
+    """(a,b) and (ab,c) share no symbol STRING, but merging (a,b)
+    mints new 'ab' symbols that (ab,c) would consume — the accepted
+    x+y concat must count as used so they never share a batch."""
+    rows = [(1, " ".join(["zabc"] * 50) + " " + " ".join(["qab"] * 49))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    words = bpe.word_freqs(docs)
+    wf = {r.word: r.freq for r in words.collect()}
+    want, want_syms = _python_bpe(wf, n_merges=4)
+    got, got_df = bpe.train_bpe_batched(words, n_merges=4, batch=8)
+    assert got == want
+    assert {r.word: list(r.syms) for r in got_df.collect()} == want_syms
+
+
+def test_apply_merges_batch_disjoint_simultaneous(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "d", "e"],), (["a", "a", "b", "b"],), (["d", "a", "b", "e"],)],
+        "syms array<string>",
+    )
+    out = [
+        list(r.m)
+        for r in df.select(
+            bpe.apply_merges_batch(F.col("syms"), [("a", "b"), ("d", "e")]).alias("m")
+        ).collect()
+    ]
+    assert out == [["ab", "de"], ["a", "ab", "b"], ["d", "ab", "e"]]
+
+
+def test_batched_property_random_corpora(spark):
+    """Randomized interacting corpora from a 4-letter alphabet (dense
+    pair collisions): the batched trainer must reproduce the serial
+    python twin's merge sequence exactly, for several batch widths."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        alphabet = "ab" if trial % 3 == 0 else "abcd"  # 2 letters: max chaining
+        n_words = rng.randint(8, 20)
+        rows = []
+        for i in range(n_words):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            rows.append((w, rng.randint(1, 30)))
+        # aggregate duplicate words like word_freqs would
+        wf = {}
+        for w, f in rows:
+            wf[w] = wf.get(w, 0) + f
+        words = spark.createDataFrame(list(wf.items()), "word string, freq long")
+        want, want_syms = _python_bpe(wf, n_merges=8)
+        for batch in (3, 8):
+            got, got_df = bpe.train_bpe_batched(words, n_merges=8, batch=batch)
+            assert got == want, (trial, batch, got, want)
+        assert {r.word: list(r.syms) for r in got_df.collect()} == want_syms
