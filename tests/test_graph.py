@@ -233,3 +233,29 @@ def test_kcore_rejects_nonpositive_rounds(spark):
         kcore(edges, k=2, rounds=0)
     with _pytest.raises(ValueError):
         kcore_fixpoint(edges, k=2, max_rounds=0)
+
+
+def test_gated_kcore_fixpoint_dissolves_chain_fixture(spark):
+    """The gated graph_kcore_fixpoint query glues a 40-node chain onto
+    the co-activity graph precisely because bounded peeling keeps its
+    interior: no chain node may survive the fixpoint, while a 3-round
+    bounded peel of the SAME graph retains the 34 interior nodes."""
+    from pyspark.sql import functions as F
+
+    from arabicner_spark.operators.graph import kcore
+    from arabicner_spark.plans import testdata_queries as tq
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = tq.q_graph_kcore_fixpoint(spark, sf_dir)
+    assert out.where(F.col("node") >= tq.KCORE_CHAIN_BASE).count() == 0
+
+    chain = spark.range(tq.KCORE_CHAIN_LEN - 1).select(
+        (F.col("id") + tq.KCORE_CHAIN_BASE).alias("src"),
+        (F.col("id") + tq.KCORE_CHAIN_BASE + 1).alias("dst"),
+    )
+    g = tq._coactivity_edges(spark, sf_dir).unionByName(chain)
+    bounded = kcore(g, k=2, rounds=3)
+    assert (
+        bounded.where(F.col("node") >= tq.KCORE_CHAIN_BASE).count()
+        == tq.KCORE_CHAIN_LEN - 6  # two ends x 3 rounds eroded
+    )
