@@ -241,6 +241,7 @@ def _greedy_safe_batch(
     dmat: dict,
     batch: int,
     min_count: int,
+    bounded: "set | None" = None,
 ) -> Tuple[List[Tuple[str, str]], bool]:
     """Maximal PREFIX of the (count desc, pair asc) candidate order
     that provably reproduces the serial greedy sequence, and whether
@@ -267,7 +268,17 @@ def _greedy_safe_batch(
 
     Stops at the first violation — pairs ranked between accepted
     members must themselves be accepted, or the serial order beyond
-    them is unknown without a recount."""
+    them is unknown without a recount.
+
+    ``bounded`` (None = every candidate): the set of candidates whose
+    tmax/dmat rows were actually computable this round.  When the
+    triple scan is filtered by a PREDICTED candidate set (the fused
+    one-job round), a candidate outside it has UNKNOWN bounds — a
+    missing dict entry must then mean "unsafe", never the exact-scan
+    meaning "provably zero".  An unbounded candidate is accepted only
+    as the round's first merge (the serial argmax needs no bounds)
+    and ends the batch: neither the pairs it creates (t_cap) nor its
+    decrements on followers (dmat) are known."""
     accepted: List[Tuple[str, str]] = []
     acc_strs: List[str] = []
     concats: set = set()
@@ -275,6 +286,9 @@ def _greedy_safe_batch(
     clean = True
     for j, (pair, cnt) in enumerate(cands):
         if cnt < min_count or len(accepted) >= batch:
+            break
+        unbounded = bounded is not None and pair not in bounded
+        if accepted and unbounded:
             break
         x, y = pair.split(PAIR_SEP, 1)
         if accepted:
@@ -296,7 +310,127 @@ def _greedy_safe_batch(
         acc_strs.append(pair)
         concats.add(x + y)
         t_cap = max(t_cap, tmax.get(pair, 0))
+        if unbounded:
+            break
     return accepted, clean
+
+
+def _membership_map(values: List[str]):
+    """O(1)-lookup literal membership test (create_map hash probe, not
+    an O(n) array_contains scan — the predicted-pair set reaches ~128
+    entries and the test runs per triple per row)."""
+    if not values:
+        return None
+    m = F.create_map(*[F.lit(v) for s in values for v in (s, "1")])
+    return lambda c: F.element_at(m, c).isNotNull()
+
+
+def fused_round_scan(
+    syms_df: DataFrame,
+    pred_pairs: "List[str] | None",
+    new_syms: List[str],
+) -> DataFrame:
+    """ONE pass over the symbol state -> eager-checkpointed round
+    table (kind, k1, k2, k3, cnt):
+
+    - kind 'P': adjacent-pair counts (k1 = pair) — every pair, always;
+    - kind 'T': adjacent-triple counts (k1 = triple, k2 = prefix pair,
+      k3 = suffix pair), FILTERED to triples that can bound a
+      plausible candidate: prefix/suffix in ``pred_pairs`` (last
+      round's observed top pairs) or any component among ``new_syms``
+      (symbols recent merges created — the pairs a merge creates are
+      exactly the ones prediction cannot name in advance).
+      ``pred_pairs`` None = first round = keep every triple.
+
+    The filter bounds the triple-agg size without a second scan; a
+    candidate it misses is handled by _greedy_safe_batch's ``bounded``
+    rule (conservative fill loss, never a parity loss).  Because the
+    caller lazily localCheckpoints the pending merge fold into
+    ``syms_df``, the single job materializing this agg also
+    materializes the fold — pair counting, interaction bounding, and
+    merge application cost ONE Spark job per round."""
+    s = lambda i: F.element_at(F.col("syms"), i)  # noqa: E731
+    np_ = (F.size("syms") - 1).cast("int")
+    pidx = F.when(np_ >= 1, F.sequence(F.lit(1), np_)).otherwise(
+        F.array().cast("array<int>")
+    )
+    prow = F.transform(
+        pidx,
+        lambda i: F.struct(
+            F.lit("P").alias("kind"),
+            F.concat_ws(PAIR_SEP, s(i), s(i + 1)).alias("k1"),
+            F.lit("").alias("k2"),
+            F.lit("").alias("k3"),
+        ),
+    )
+    nt = (F.size("syms") - 2).cast("int")
+    tidx = F.when(nt >= 1, F.sequence(F.lit(1), nt)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def trow_at(i):
+        return F.struct(
+            F.lit("T").alias("kind"),
+            F.concat_ws(PAIR_SEP, s(i), s(i + 1), s(i + 2)).alias("k1"),
+            F.concat_ws(PAIR_SEP, s(i), s(i + 1)).alias("k2"),
+            F.concat_ws(PAIR_SEP, s(i + 1), s(i + 2)).alias("k3"),
+        )
+
+    if pred_pairs is None:
+        trow = F.transform(tidx, trow_at)
+    else:
+        in_pred = _membership_map(pred_pairs)
+        in_new = _membership_map(new_syms)
+
+        def keep(i):
+            cond = F.lit(False)
+            if in_pred is not None:
+                cond = cond | in_pred(F.concat_ws(PAIR_SEP, s(i), s(i + 1)))
+                cond = cond | in_pred(F.concat_ws(PAIR_SEP, s(i + 1), s(i + 2)))
+            if in_new is not None:
+                for off in (0, 1, 2):
+                    cond = cond | in_new(s(i + off))
+            return cond
+
+        trow = F.filter(
+            F.transform(tidx, lambda i: F.when(keep(i), trow_at(i))),
+            lambda r: r.isNotNull(),
+        )
+    return (
+        syms_df.select("freq", F.explode(F.concat(prow, trow)).alias("r"))
+        .select("freq", "r.kind", "r.k1", "r.k2", "r.k3")
+        .groupBy("kind", "k1", "k2", "k3")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bounds_from_round_table(round_df: DataFrame, cand_pairs: List[str]):
+    """tmax/dmat dicts (pair_interactions semantics) from the fused
+    round table's kind='T' rows — two tiny aggs over a checkpointed
+    summary, no rescan of the corpus."""
+    trip = round_df.where(F.col("kind") == "T")
+    t_rows = (
+        trip.select(
+            F.explode(F.array_distinct(F.array("k2", "k3"))).alias("pair"), "cnt"
+        )
+        .where(F.col("pair").isin(cand_pairs))
+        .groupBy("pair")
+        .agg(F.max("cnt").alias("v"))
+        .collect()
+    )
+    d_rows = (
+        trip.where(F.col("k2").isin(cand_pairs) & F.col("k3").isin(cand_pairs))
+        .groupBy("k2", "k3")
+        .agg(F.sum("cnt").alias("v"))
+        .collect()
+    )
+    tmax = {r["pair"]: r["v"] for r in t_rows}
+    dmat = {(r["k2"], r["k3"]): r["v"] for r in d_rows}
+    return tmax, dmat
+
+
+_NEW_SYM_ROUNDS = 4  # rounds a created symbol stays in the triple filter
 
 
 def train_bpe_batched(
@@ -312,13 +446,17 @@ def train_bpe_batched(
     loop one full job per merge (~4.3 s/merge at 2M words — a real
     30k-merge tokenizer would need ~36 h of round-trips).
 
-    Per round: one pair-count agg -> top-``4*batch`` candidates to the
-    driver (TakeOrderedAndProject); one bounded triple scan over only
-    those candidates (:func:`pair_interactions` — both the new-pair
-    cap and the pairwise interleave decrements); one fold pass +
-    localCheckpoint.  Interaction-free batches apply as a single
+    Per round, ONE full-corpus Spark job (:func:`fused_round_scan`):
+    the previous round's merge fold rides in via a LAZY localCheckpoint
+    and materializes inside the same pass that counts pairs and the
+    prediction-filtered interaction triples; everything after — the
+    top-``8*batch`` candidate collect, the tmax/dmat bound aggs, the
+    greedy-safe selection — runs over the checkpointed round summary
+    (driver-size rows).  Interaction-free batches apply as a single
     shared-map fold, interacting-but-still-safe ones as sequential
-    chained folds (serial order) in the same projection.  Worst case
+    chained folds (serial order) in the same projection; candidates
+    the prediction filter missed are admitted conservatively
+    (``bounded`` rule) — fill loss, never parity loss.  Worst case
     (every top candidate truly interacts) degenerates to the serial
     loop; the Zipfian receipt corpus measures the per-round batch fill
     in COVERAGE.md."""
@@ -326,22 +464,39 @@ def train_bpe_batched(
         "word", "freq", char_symbols(F.col("word")).alias("syms")
     ).localCheckpoint(eager=True)
     merges: List[Tuple[str, str]] = []
+    pred: "List[str] | None" = None
+    recent_syms: List[List[str]] = []
     while len(merges) < n_merges:
-        cands = [
-            (r["pair"], r["n"])
-            for r in symbol_pair_counts(syms)
-            .orderBy(F.desc("n"), "pair")
-            .limit(4 * batch)
+        new_syms = [x for rnd in recent_syms[-_NEW_SYM_ROUNDS:] for x in rnd]
+        round_df = fused_round_scan(syms, pred, new_syms)
+        top = (
+            round_df.where(F.col("kind") == "P")
+            .orderBy(F.desc("cnt"), "k1")
+            .limit(8 * batch)
             .collect()
-        ]
+        )
+        cands = [(r["k1"], r["cnt"]) for r in top[: 4 * batch]]
         if not cands or cands[0][1] < min_count:
             break
         room = min(batch, n_merges - len(merges))
         if room <= 1:
             tmax, dmat = {}, {}
         else:
-            tmax, dmat = pair_interactions(syms, [p for p, _ in cands])
-        step, clean = _greedy_safe_batch(cands, tmax, dmat, room, min_count)
+            tmax, dmat = _bounds_from_round_table(
+                round_df, [p for p, _ in cands]
+            )
+        if pred is None:
+            bounded = None
+        else:
+            pset, nset = set(pred), set(new_syms)
+            bounded = {
+                p
+                for p, _ in cands
+                if p in pset or any(c in nset for c in p.split(PAIR_SEP, 1))
+            }
+        step, clean = _greedy_safe_batch(
+            cands, tmax, dmat, room, min_count, bounded
+        )
         if not step:
             break
         merges.extend(step)
@@ -351,7 +506,10 @@ def train_bpe_batched(
             col = F.col("syms")
             for x, y in step:
                 col = apply_merge(col, x, y)
-        syms = syms.withColumn("syms", col).localCheckpoint(eager=True)
+        # LAZY: the fold materializes inside the next round's scan job
+        syms = syms.withColumn("syms", col).localCheckpoint(eager=False)
+        pred = [r["k1"] for r in top]
+        recent_syms.append([x + y for x, y in step])
     return merges, syms
 
 

@@ -927,6 +927,74 @@ SELECT md5(text) AS dup_group, count(*) AS group_size, min(doc_id) AS keep_doc
 FROM alld GROUP BY 1 HAVING count(*) > 1"""
 
 
+SUBSTR_K = 8  # token k-gram width = minimum repeated-run length
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Exact cross-document repeated-substring cut list
+    (operators/repeated.repeated_substring_cuts, k=8 tokens) — the
+    suffix-array-style dedup modality MinHash misses: verbatim token
+    runs shared across otherwise-different documents.  The testdata
+    has natural cross-doc 8-grams at every sf (1,115 / 1,015 / 10,533
+    dup grams at sf0.001/0.01/0.1), so no fixture injection is
+    needed.  -> (doc_id, start_tok, len_tok) maximal spans."""
+    from arabicner_spark.operators.repeated import repeated_substring_cuts
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_substring_cuts(d, k=SUBSTR_K)
+
+
+_SQL_SUBSTR_CUTS = f"""d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], chr(1))) AS gram
+      FROM d, unnest(generate_series(1, len(toks) - {SUBSTR_K - 1})) AS t(i)
+      WHERE len(toks) >= {SUBSTR_K}),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM h),
+cuts AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_tok,
+                CAST(max(pos) - min(pos) + {SUBSTR_K} AS INTEGER) AS len_tok
+         FROM isl GROUP BY doc_id, grp)"""
+
+SQL_DEDUP_SUBSTRING = f"""WITH {_SQL_SUBSTR_CUTS}
+SELECT doc_id, start_tok, len_tok FROM cuts"""
+
+
+def q_dedup_substring_apply(spark, sf_dir):
+    """End-to-end substring dedup: remove every cut span from the
+    token stream (operators/repeated.apply_substring_cuts) ->
+    (doc_id, text_deduped).  Docs with no cross-doc runs pass through
+    byte-identical; single-space join mirrors the split, so the
+    oracle reconstruction is exact."""
+    from arabicner_spark.operators.repeated import (
+        apply_substring_cuts,
+        repeated_substring_cuts,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cuts = repeated_substring_cuts(d, k=SUBSTR_K).localCheckpoint(eager=True)
+    return apply_substring_cuts(d, cuts)
+
+
+SQL_DEDUP_SUBSTRING_APPLY = f"""WITH {_SQL_SUBSTR_CUTS},
+spans AS (SELECT doc_id, start_tok AS s, start_tok + len_tok AS e FROM cuts),
+tok AS (SELECT d.doc_id, t.p, d.toks[t.p] AS tk
+        FROM d, unnest(generate_series(1, len(d.toks))) AS t(p)),
+kept AS (
+  SELECT tok.doc_id, tok.p, tok.tk FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tok.doc_id
+                      AND tok.p >= sp.s AND tok.p < sp.e)
+),
+agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS txt
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.txt, '') AS text_deduped
+FROM d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
@@ -4984,6 +5052,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_apply": (q_dedup_substring_apply, SQL_DEDUP_SUBSTRING_APPLY),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
     "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),

@@ -188,3 +188,29 @@ def test_batched_property_random_corpora(spark):
             got, got_df = bpe.train_bpe_batched(words, n_merges=8, batch=batch)
             assert got == want, (trial, batch, got, want)
         assert {r.word: list(r.syms) for r in got_df.collect()} == want_syms
+
+
+def test_batched_property_pred_filter_misses(spark):
+    """Wide-alphabet corpora whose distinct-pair count EXCEEDS the
+    8*batch prediction window at batch=2: some candidates reach the
+    admission prefix without triple bounds, forcing the conservative
+    ``bounded`` path in _greedy_safe_batch.  Parity with the serial
+    twin must survive the prediction misses (they may only cost batch
+    fill, never order)."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        alphabet = "abcdefgh"
+        rows = {}
+        for i in range(40):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 10)))
+            rows[w] = rows.get(w, 0) + rng.randint(1, 20)
+        words = spark.createDataFrame(list(rows.items()), "word string, freq long")
+        n_pairs = len(
+            {(w[i], w[i + 1]) for w in rows for i in range(len(w) - 1)}
+        )
+        assert n_pairs > 16, "fixture must overflow the batch=2 pred window"
+        want, _ = _python_bpe(rows, n_merges=10)
+        got, _df = bpe.train_bpe_batched(words, n_merges=10, batch=2)
+        assert got == want, (trial, got, want)
