@@ -179,6 +179,23 @@ def pair_interactions(
     """
     if not cand_pairs:
         return {}, {}
+    # a qualifying triple's pre or suf pair IS a candidate, so its word
+    # must hold a candidate ADJACENCY — an exact arrays_overlap
+    # prefilter on the word's adjacent-pair strings.  (A component-set
+    # prefilter is useless past the early rounds: candidate components
+    # are frequent symbols that appear in ~100% of words, while exact
+    # pair membership measured 32% at depth 150 on the 2M-word receipt
+    # corpus.  A contains-OR over the ~128 candidate strings measured
+    # 2x SLOWER per round than the single set-overlap; the HOF form is
+    # safe here — one expression, unlike the two-column `touched`
+    # projection, see _contains_any_pair.)  The overlap fuses into the
+    # same scan stage, so the triple explode + groupBy only pays for
+    # matching words.
+    syms_df = syms_df.where(
+        F.arrays_overlap(
+            _adj_pairs("syms"), F.array(*[F.lit(p) for p in cand_pairs])
+        )
+    )
     n = (F.size("syms") - 2).cast("int")
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
@@ -241,7 +258,6 @@ def _greedy_safe_batch(
     dmat: dict,
     batch: int,
     min_count: int,
-    bounded: "set | None" = None,
 ) -> Tuple[List[Tuple[str, str]], bool]:
     """Maximal PREFIX of the (count desc, pair asc) candidate order
     that provably reproduces the serial greedy sequence, and whether
@@ -268,17 +284,7 @@ def _greedy_safe_batch(
 
     Stops at the first violation — pairs ranked between accepted
     members must themselves be accepted, or the serial order beyond
-    them is unknown without a recount.
-
-    ``bounded`` (None = every candidate): the set of candidates whose
-    tmax/dmat rows were actually computable this round.  When the
-    triple scan is filtered by a PREDICTED candidate set (the fused
-    one-job round), a candidate outside it has UNKNOWN bounds — a
-    missing dict entry must then mean "unsafe", never the exact-scan
-    meaning "provably zero".  An unbounded candidate is accepted only
-    as the round's first merge (the serial argmax needs no bounds)
-    and ends the batch: neither the pairs it creates (t_cap) nor its
-    decrements on followers (dmat) are known."""
+    them is unknown without a recount."""
     accepted: List[Tuple[str, str]] = []
     acc_strs: List[str] = []
     concats: set = set()
@@ -286,9 +292,6 @@ def _greedy_safe_batch(
     clean = True
     for j, (pair, cnt) in enumerate(cands):
         if cnt < min_count or len(accepted) >= batch:
-            break
-        unbounded = bounded is not None and pair not in bounded
-        if accepted and unbounded:
             break
         x, y = pair.split(PAIR_SEP, 1)
         if accepted:
@@ -310,127 +313,43 @@ def _greedy_safe_batch(
         acc_strs.append(pair)
         concats.add(x + y)
         t_cap = max(t_cap, tmax.get(pair, 0))
-        if unbounded:
-            break
     return accepted, clean
 
 
-def _membership_map(values: List[str]):
-    """O(1)-lookup literal membership test (create_map hash probe, not
-    an O(n) array_contains scan — the predicted-pair set reaches ~128
-    entries and the test runs per triple per row)."""
-    if not values:
-        return None
-    m = F.create_map(*[F.lit(v) for s in values for v in (s, "1")])
-    return lambda c: F.element_at(m, c).isNotNull()
+def _contains_any_pair(col_name: str, pairs: List[str]) -> Column:
+    """EXACT adjacency membership without a higher-order function: the
+    pair (x, y) is adjacent in ``syms`` iff " x y " is a substring of
+    " s1 s2 ... sn " (symbols never contain PAIR_SEP — words come from
+    splitting text on it), so the test is an OR of plain `contains`
+    over the space-joined symbol string.  Pure codegen, and it dodges
+    a Spark 4 codegen mis-binding observed when TWO projection columns
+    each carry higher-order lambdas (an arrays_overlap(_adj_pairs)
+    predicate duplicated across output columns indexed a transformed
+    array with the pre-transform index range)."""
+    joined = F.concat(
+        F.lit(PAIR_SEP), F.concat_ws(PAIR_SEP, F.col(col_name)), F.lit(PAIR_SEP)
+    )
+    cond = F.lit(False)
+    for p in pairs:
+        cond = cond | joined.contains(PAIR_SEP + p + PAIR_SEP)
+    return cond
 
 
-def fused_round_scan(
-    syms_df: DataFrame,
-    pred_pairs: "List[str] | None",
-    new_syms: List[str],
-) -> DataFrame:
-    """ONE pass over the symbol state -> eager-checkpointed round
-    table (kind, k1, k2, k3, cnt):
-
-    - kind 'P': adjacent-pair counts (k1 = pair) — every pair, always;
-    - kind 'T': adjacent-triple counts (k1 = triple, k2 = prefix pair,
-      k3 = suffix pair), FILTERED to triples that can bound a
-      plausible candidate: prefix/suffix in ``pred_pairs`` (last
-      round's observed top pairs) or any component among ``new_syms``
-      (symbols recent merges created — the pairs a merge creates are
-      exactly the ones prediction cannot name in advance).
-      ``pred_pairs`` None = first round = keep every triple.
-
-    The filter bounds the triple-agg size without a second scan; a
-    candidate it misses is handled by _greedy_safe_batch's ``bounded``
-    rule (conservative fill loss, never a parity loss).  Because the
-    caller lazily localCheckpoints the pending merge fold into
-    ``syms_df``, the single job materializing this agg also
-    materializes the fold — pair counting, interaction bounding, and
-    merge application cost ONE Spark job per round."""
-    s = lambda i: F.element_at(F.col("syms"), i)  # noqa: E731
-    np_ = (F.size("syms") - 1).cast("int")
-    pidx = F.when(np_ >= 1, F.sequence(F.lit(1), np_)).otherwise(
+def _adj_pairs(col_name: str) -> Column:
+    """Adjacent-pair strings of a symbol-array column (the
+    symbol_pair_counts projection, reusable on any column name)."""
+    n = (F.size(col_name) - 1).cast("int")
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
-    prow = F.transform(
-        pidx,
-        lambda i: F.struct(
-            F.lit("P").alias("kind"),
-            F.concat_ws(PAIR_SEP, s(i), s(i + 1)).alias("k1"),
-            F.lit("").alias("k2"),
-            F.lit("").alias("k3"),
+    return F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(F.col(col_name), i),
+            F.lit(PAIR_SEP),
+            F.element_at(F.col(col_name), i + 1),
         ),
     )
-    nt = (F.size("syms") - 2).cast("int")
-    tidx = F.when(nt >= 1, F.sequence(F.lit(1), nt)).otherwise(
-        F.array().cast("array<int>")
-    )
-
-    def trow_at(i):
-        return F.struct(
-            F.lit("T").alias("kind"),
-            F.concat_ws(PAIR_SEP, s(i), s(i + 1), s(i + 2)).alias("k1"),
-            F.concat_ws(PAIR_SEP, s(i), s(i + 1)).alias("k2"),
-            F.concat_ws(PAIR_SEP, s(i + 1), s(i + 2)).alias("k3"),
-        )
-
-    if pred_pairs is None:
-        trow = F.transform(tidx, trow_at)
-    else:
-        in_pred = _membership_map(pred_pairs)
-        in_new = _membership_map(new_syms)
-
-        def keep(i):
-            cond = F.lit(False)
-            if in_pred is not None:
-                cond = cond | in_pred(F.concat_ws(PAIR_SEP, s(i), s(i + 1)))
-                cond = cond | in_pred(F.concat_ws(PAIR_SEP, s(i + 1), s(i + 2)))
-            if in_new is not None:
-                for off in (0, 1, 2):
-                    cond = cond | in_new(s(i + off))
-            return cond
-
-        trow = F.filter(
-            F.transform(tidx, lambda i: F.when(keep(i), trow_at(i))),
-            lambda r: r.isNotNull(),
-        )
-    return (
-        syms_df.select("freq", F.explode(F.concat(prow, trow)).alias("r"))
-        .select("freq", "r.kind", "r.k1", "r.k2", "r.k3")
-        .groupBy("kind", "k1", "k2", "k3")
-        .agg(F.sum("freq").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-
-
-def _bounds_from_round_table(round_df: DataFrame, cand_pairs: List[str]):
-    """tmax/dmat dicts (pair_interactions semantics) from the fused
-    round table's kind='T' rows — two tiny aggs over a checkpointed
-    summary, no rescan of the corpus."""
-    trip = round_df.where(F.col("kind") == "T")
-    t_rows = (
-        trip.select(
-            F.explode(F.array_distinct(F.array("k2", "k3"))).alias("pair"), "cnt"
-        )
-        .where(F.col("pair").isin(cand_pairs))
-        .groupBy("pair")
-        .agg(F.max("cnt").alias("v"))
-        .collect()
-    )
-    d_rows = (
-        trip.where(F.col("k2").isin(cand_pairs) & F.col("k3").isin(cand_pairs))
-        .groupBy("k2", "k3")
-        .agg(F.sum("cnt").alias("v"))
-        .collect()
-    )
-    tmax = {r["pair"]: r["v"] for r in t_rows}
-    dmat = {(r["k2"], r["k3"]): r["v"] for r in d_rows}
-    return tmax, dmat
-
-
-_NEW_SYM_ROUNDS = 4  # rounds a created symbol stays in the triple filter
 
 
 def train_bpe_batched(
@@ -438,65 +357,65 @@ def train_bpe_batched(
     n_merges: int,
     min_count: int = 2,
     batch: int = 16,
+    on_round=None,
 ) -> Tuple[List[Tuple[str, str]], DataFrame]:
     """Batched BPE training: IDENTICAL merge sequence to
     :func:`train_bpe` (property-tested on interacting corpora), but up
     to ``batch`` greedy-safe merges are selected and applied per Spark
     round, amortizing the per-round job latency that makes the serial
-    loop one full job per merge (~4.3 s/merge at 2M words — a real
+    loop one full job per merge (~4 s/merge at 2M words — a real
     30k-merge tokenizer would need ~36 h of round-trips).
 
-    Per round, ONE full-corpus Spark job (:func:`fused_round_scan`):
-    the previous round's merge fold rides in via a LAZY localCheckpoint
-    and materializes inside the same pass that counts pairs and the
-    prediction-filtered interaction triples; everything after — the
-    top-``8*batch`` candidate collect, the tmax/dmat bound aggs, the
-    greedy-safe selection — runs over the checkpointed round summary
-    (driver-size rows).  Interaction-free batches apply as a single
-    shared-map fold, interacting-but-still-safe ones as sequential
-    chained folds (serial order) in the same projection; candidates
-    the prediction filter missed are admitted conservatively
-    (``bounded`` rule) — fill loss, never parity loss.  Worst case
-    (every top candidate truly interacts) degenerates to the serial
-    loop; the Zipfian receipt corpus measures the per-round batch fill
-    in COVERAGE.md."""
+    The scalable structure is INCREMENTAL pair-count maintenance (the
+    same idea fast single-node BPE trainers use, expressed as
+    dataflow): a (pair, n) state table survives across rounds, so no
+    round ever recounts the corpus.  Per round:
+
+    1. top-``4*batch`` candidates — a tiny sort-limit on the
+       checkpointed counts STATE (distinct-pair-sized, not
+       corpus-sized);
+    2. one interaction scan (:func:`pair_interactions`) prefiltered by
+       EXACT candidate-adjacency membership (arrays_overlap on the
+       word's adjacent-pair strings) — in the merge tail that is a
+       minority of the vocabulary;
+    3. the greedy-safe batch (:func:`_greedy_safe_batch`) is applied
+       ONLY to touched words (exact accepted-pair adjacency;
+       untouched rows copy through), checkpointed together
+       with the pre-merge arrays;
+    4. the counts state is folded forward with the ±freq pair delta of
+       the touched words — a summary-sized merge, exact in integers.
+
+    Interaction-free batches apply as one simultaneous shared-map
+    fold, interacting-but-still-safe ones as sequential chained folds
+    (serial order) in the same projection.  Worst case (every top
+    candidate truly interacts) degenerates to the serial loop; the
+    Zipfian receipt corpus measures the per-round batch fill in
+    COVERAGE.md.
+
+    ``on_round``: optional ``fn(fill, seconds)`` receipt hook called
+    after each round (tools/bench_bpe_batch.py) — keeps the benched
+    loop THE production loop instead of an unrolled copy."""
+    import time as _time
+
     syms = words.select(
         "word", "freq", char_symbols(F.col("word")).alias("syms")
     ).localCheckpoint(eager=True)
+    counts = symbol_pair_counts(syms).localCheckpoint(eager=True)
     merges: List[Tuple[str, str]] = []
-    pred: "List[str] | None" = None
-    recent_syms: List[List[str]] = []
     while len(merges) < n_merges:
-        new_syms = [x for rnd in recent_syms[-_NEW_SYM_ROUNDS:] for x in rnd]
-        round_df = fused_round_scan(syms, pred, new_syms)
-        top = (
-            round_df.where(F.col("kind") == "P")
-            .orderBy(F.desc("cnt"), "k1")
-            .limit(8 * batch)
-            .collect()
-        )
-        cands = [(r["k1"], r["cnt"]) for r in top[: 4 * batch]]
+        _r0 = _time.time()
+        cands = [
+            (r["pair"], r["n"])
+            for r in counts.orderBy(F.desc("n"), "pair").limit(4 * batch).collect()
+        ]
         if not cands or cands[0][1] < min_count:
             break
         room = min(batch, n_merges - len(merges))
         if room <= 1:
             tmax, dmat = {}, {}
         else:
-            tmax, dmat = _bounds_from_round_table(
-                round_df, [p for p, _ in cands]
-            )
-        if pred is None:
-            bounded = None
-        else:
-            pset, nset = set(pred), set(new_syms)
-            bounded = {
-                p
-                for p, _ in cands
-                if p in pset or any(c in nset for c in p.split(PAIR_SEP, 1))
-            }
-        step, clean = _greedy_safe_batch(
-            cands, tmax, dmat, room, min_count, bounded
-        )
+            tmax, dmat = pair_interactions(syms, [p for p, _ in cands])
+        step, clean = _greedy_safe_batch(cands, tmax, dmat, room, min_count)
         if not step:
             break
         merges.extend(step)
@@ -506,10 +425,51 @@ def train_bpe_batched(
             col = F.col("syms")
             for x, y in step:
                 col = apply_merge(col, x, y)
-        # LAZY: the fold materializes inside the next round's scan job
-        syms = syms.withColumn("syms", col).localCheckpoint(eager=False)
-        pred = [r["k1"] for r in top]
-        recent_syms.append([x + y for x, y in step])
+        # a word changes under merge (x, y) iff it holds the ADJACENT
+        # pair "x y"; accepted batches never create an accepted pair's
+        # adjacency (no candidate contains an accepted concat, and a
+        # merge only creates adjacencies involving its new symbol), so
+        # pre-batch adjacent-pair membership is EXACT for the whole
+        # batch — measured ~5x tighter than component membership in
+        # the merge tail (components are frequent symbols)
+        touched = _contains_any_pair(
+            "syms", [x + PAIR_SEP + y for x, y in step]
+        )
+        full = syms.select(
+            "word",
+            "freq",
+            F.when(touched, col).otherwise(F.col("syms")).alias("syms"),
+            F.when(touched, F.col("syms")).alias("old_syms"),
+        ).localCheckpoint(eager=True)
+        delta = (
+            full.where(F.col("old_syms").isNotNull())
+            .select(
+                "freq",
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            _adj_pairs("old_syms"),
+                            lambda p: F.struct(p.alias("pair"), F.lit(-1).alias("sg")),
+                        ),
+                        F.transform(
+                            _adj_pairs("syms"),
+                            lambda p: F.struct(p.alias("pair"), F.lit(1).alias("sg")),
+                        ),
+                    )
+                ).alias("d"),
+            )
+            .select("d.pair", (F.col("d.sg") * F.col("freq")).alias("n"))
+        )
+        counts = (
+            counts.unionByName(delta)
+            .groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .where(F.col("n") != 0)
+            .localCheckpoint(eager=True)
+        )
+        syms = full.select("word", "freq", "syms")
+        if on_round is not None:
+            on_round(len(step), _time.time() - _r0)
     return merges, syms
 
 

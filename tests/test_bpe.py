@@ -190,13 +190,12 @@ def test_batched_property_random_corpora(spark):
         assert {r.word: list(r.syms) for r in got_df.collect()} == want_syms
 
 
-def test_batched_property_pred_filter_misses(spark):
-    """Wide-alphabet corpora whose distinct-pair count EXCEEDS the
-    8*batch prediction window at batch=2: some candidates reach the
-    admission prefix without triple bounds, forcing the conservative
-    ``bounded`` path in _greedy_safe_batch.  Parity with the serial
-    twin must survive the prediction misses (they may only cost batch
-    fill, never order)."""
+def test_batched_property_wide_alphabet(spark):
+    """Wide-alphabet corpora whose distinct-pair count exceeds the
+    4*batch candidate window at batch=2: most counts-state churn per
+    round happens OUTSIDE the collected candidate list, so the
+    incremental ±freq delta maintenance must keep the uncollected
+    tail exact across rounds.  Parity with the serial twin."""
     import random
 
     rng = random.Random(20260818)

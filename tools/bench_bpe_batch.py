@@ -64,41 +64,18 @@ def synth_words(spark, n: int):
 
 
 def batched_with_windows(words, n_merges, batch):
-    """train_bpe_batched unrolled so per-round (fill, seconds) is
-    recorded; returns (merges, final syms, fills, round_times)."""
-    syms = words.select(
-        "word", "freq", bpe.char_symbols(F.col("word")).alias("syms")
-    ).localCheckpoint(eager=True)
-    merges, fills, times = [], [], []
-    while len(merges) < n_merges:
-        r0 = time.time()
-        cands = [
-            (r["pair"], r["n"])
-            for r in bpe.symbol_pair_counts(syms)
-            .orderBy(F.desc("n"), "pair")
-            .limit(4 * batch)
-            .collect()
-        ]
-        if not cands or cands[0][1] < 2:
-            break
-        room = min(batch, n_merges - len(merges))
-        if room <= 1:
-            tmax, dmat = {}, {}
-        else:
-            tmax, dmat = bpe.pair_interactions(syms, [p for p, _ in cands])
-        step, clean = bpe._greedy_safe_batch(cands, tmax, dmat, room, 2)
-        if not step:
-            break
-        merges.extend(step)
-        if clean:
-            col = bpe.apply_merges_batch(F.col("syms"), step)
-        else:
-            col = F.col("syms")
-            for x, y in step:
-                col = bpe.apply_merge(col, x, y)
-        syms = syms.withColumn("syms", col).localCheckpoint(eager=True)
-        fills.append(len(step))
-        times.append(time.time() - r0)
+    """THE production loop (train_bpe_batched: incremental counts
+    state, touched-word-only fold) with its on_round receipt hook;
+    returns (merges, final syms, fills, round_times)."""
+    fills, times = [], []
+
+    def rec(fill, secs):
+        fills.append(fill)
+        times.append(secs)
+
+    merges, syms = bpe.train_bpe_batched(
+        words, n_merges, min_count=2, batch=batch, on_round=rec
+    )
     return merges, syms, fills, times
 
 
