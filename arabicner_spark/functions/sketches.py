@@ -124,22 +124,25 @@ def heavy_hitters_exact(df: DataFrame, col: str, s: int = 20) -> DataFrame:
 def heavy_hitters_mg(df: DataFrame, col: str, k: int = 8) -> DataFrame:
     """Misra-Gries summary, distributed and Arrow-vectorized: each
     partition folds its Arrow batches into a k-counter MG summary
-    (``mapInPandas`` iterator form — per-batch ``value_counts`` merged
-    into the running summary, then trimmed by the (k+1)-th largest
-    counter; output is summary-sized, at most k rows per partition,
-    never data-sized).  Partition summaries merge by summing per-value
-    estimates, lowered by the (k+1)-th largest to restore the MG
-    underestimate invariant.
+    (``mapInArrow`` iterator form — per-batch C++ ``value_counts``
+    concatenated into the running summary table, group-summed, then
+    trimmed by the (k+1)-th largest counter; output is summary-sized,
+    at most k rows per partition, never data-sized).  Partition
+    summaries merge by summing per-value estimates, lowered by the
+    (k+1)-th largest to restore the MG underestimate invariant.
 
     The batch-fold is the mergeable-summaries formulation of MG
     (Agarwal et al.): subtracting the (k+1)-th largest counter from
     all counters removes >= (k+1) x that amount of total weight, so
     the per-value underestimate stays <= n/(k+1) exactly as in the
-    per-row decrement form — but the hot path is pandas
-    ``value_counts`` + Series arithmetic over Arrow batches, not a
-    Python loop per row (this was the repo's last per-row-Python
-    path; the rewrite measured >=5x over the rdd.mapPartitions form,
-    see COVERAGE.md).
+    per-row decrement form — but the hot path is pyarrow.compute
+    end to end (value_counts, group_by sum, sort, subtract): no
+    per-row Python, and no Python string is ever materialized for a
+    data row (a mapInPandas draft paid Arrow->pandas OBJECT
+    conversion for every row — 30M PyObject strings — and measured
+    only 1.7x over the rdd.mapPartitions form it replaced; the
+    all-Arrow fold is where the vectorization win actually lives,
+    receipt in COVERAGE.md).
 
     Guarantee (property-tested): for every value,
     ``true - n/(k+1) <= est <= true`` — so any value with frequency
@@ -149,24 +152,41 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 8) -> DataFrame:
     """
 
     def mg_fold(batches):
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        state = None  # pd.Series: value -> MG counter
-        for pdf in batches:
-            vc = pdf["val"].value_counts()
-            state = vc if state is None else state.add(vc, fill_value=0)
-            if len(state) > k:
-                state = state.sort_values(ascending=False)
-                cut = state.iloc[k]  # the (k+1)-th largest counter
-                state = state.iloc[: k]  # ranks k+1.. are <= cut: all drop
-                state = state - cut
-                state = state[state > 0]
-        if state is not None and len(state):
-            yield pd.DataFrame(
-                {"val": state.index.astype(str), "est": state.values.astype("int64")}
+        state = None  # pa.Table (val, est), <= k rows between batches
+        for rb in batches:
+            vc = pc.value_counts(pc.drop_null(rb.column(0)))
+            tbl = pa.table(
+                {
+                    "val": vc.field("values"),
+                    "est": pc.cast(vc.field("counts"), pa.int64()),
+                }
             )
+            if state is None:
+                state = tbl
+            else:
+                state = (
+                    pa.concat_tables([state, tbl])
+                    .group_by("val")
+                    .aggregate([("est", "sum")])
+                    .rename_columns(["val", "est"])
+                )
+            if state.num_rows > k:
+                state = state.take(
+                    pc.sort_indices(state, sort_keys=[("est", "descending")])
+                )
+                cut = state.column("est")[k].as_py()  # (k+1)-th largest
+                state = state.slice(0, k)  # ranks k+1.. are <= cut: drop
+                est = pc.subtract(state.column("est"), pa.scalar(cut, pa.int64()))
+                state = pa.table({"val": state.column("val"), "est": est}).filter(
+                    pc.greater(est, 0)
+                )
+        if state is not None and state.num_rows:
+            yield from state.combine_chunks().to_batches()
 
-    parts = df.select(F.col(col).cast("string").alias("val")).mapInPandas(
+    parts = df.select(F.col(col).cast("string").alias("val")).mapInArrow(
         mg_fold, "val string, est long"
     )
     merged = parts.groupBy("val").agg(F.sum("est").cast("bigint").alias("est"))
