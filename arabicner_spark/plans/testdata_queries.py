@@ -4850,6 +4850,92 @@ SELECT d3.node, CAST(d3.deg AS INTEGER) AS deg
 FROM d3 WHERE d3.deg >= 2"""
 
 
+# --- product quantization ANN (IVF-PQ compressed index) --------------
+PQ_M = 4        # subspaces: 64 dims -> 4 x 16
+PQ_SDIMS = 16
+PQ_K = 8        # codebook entries per subspace (id < 8 seed)
+PQ_NQ = 10      # ADC query ids
+PQ_TOPK = 3
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): per-subspace
+    fixed-point codebooks (one Lloyd update from the id<8 seed), each
+    vector stored as 4 codes instead of 64 floats (the
+    memory-compressed index family a trillion-vector deployment
+    actually ships), then ADC top-3 for the first 10 query ids —
+    approximate L2² as the sum of 4 broadcast table lookups per
+    candidate.  All int64 fixed-point, so the unrolled per-subspace
+    SQL oracle matches by value hash."""
+    from arabicner_spark.operators.pq import pq_index_and_search
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return pq_index_and_search(
+        e, m=PQ_M, k=PQ_K, updates=1, query_ids=range(PQ_NQ), topk=PQ_TOPK
+    )
+
+
+# one per-subspace fixed-point assign round against codebook p{p}:
+# exact int64 L2² summed over the subspace's local dims, arg-min per
+# (vec_id, sub) with (dist, cl) tie order — kmeans' _SQL_KM_ASSIGN
+# with the subspace id added to every key
+_SQL_PQ_ASSIGN = """pd{r} AS (
+  SELECT sv.vec_id, sv.sub, c.cl,
+         CAST(SUM((sv.val - c.cval) * (sv.val - c.cval)) AS BIGINT) AS dist
+  FROM sv JOIN p{p} c ON c.sub = sv.sub AND c.sdim = sv.sdim
+  GROUP BY sv.vec_id, sv.sub, c.cl
+),
+pa{r} AS (
+  SELECT vec_id, sub, cl FROM pd{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) = 1
+)"""
+
+SQL_ANN_PQ = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+ev AS (
+  SELECT vec_id, i AS dim, CAST(floor(v[i] * 1000000) AS BIGINT) AS val
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+),
+sv AS (
+  SELECT vec_id, CAST((dim - 1) // {PQ_SDIMS} + 1 AS INTEGER) AS sub,
+         (dim - 1) % {PQ_SDIMS} + 1 AS sdim, val
+  FROM ev
+),
+p0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cl, sdim, val AS cval
+       FROM sv WHERE vec_id < {PQ_K}),
+{_SQL_PQ_ASSIGN.format(r=1, p=0)},
+p1 AS (
+  SELECT sv.sub, a.cl, sv.sdim,
+         CAST(CAST(sign(CAST(SUM(sv.val) AS BIGINT)) AS BIGINT)
+              * (abs(CAST(SUM(sv.val) AS BIGINT)) // COUNT(*)) AS BIGINT) AS cval
+  FROM sv JOIN pa1 a ON a.vec_id = sv.vec_id AND a.sub = sv.sub
+  GROUP BY sv.sub, a.cl, sv.sdim
+),
+{_SQL_PQ_ASSIGN.format(r=2, p=1)},
+codes AS (SELECT vec_id, sub, cl AS code FROM pa2),
+qv AS (SELECT vec_id AS q, sub, sdim, val AS qval
+       FROM sv WHERE vec_id < {PQ_NQ}),
+dtab AS (
+  SELECT qv.q, qv.sub, c.cl,
+         CAST(SUM((qv.qval - c.cval) * (qv.qval - c.cval)) AS BIGINT) AS pdist
+  FROM qv JOIN p1 c ON c.sub = qv.sub AND c.sdim = qv.sdim
+  GROUP BY qv.q, qv.sub, c.cl
+),
+adc AS (
+  SELECT d.q, codes.vec_id AS neighbor, CAST(SUM(d.pdist) AS BIGINT) AS adc_dist
+  FROM codes JOIN dtab d ON d.sub = codes.sub AND d.cl = codes.code
+  GROUP BY d.q, codes.vec_id
+)
+SELECT q, neighbor, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q, neighbor, adc_dist,
+         row_number() OVER (PARTITION BY q ORDER BY adc_dist, neighbor) AS rank
+  FROM adc WHERE q != neighbor
+) WHERE rank <= {PQ_TOPK}"""
+
+
 # --- true k-core (fixpoint peel) -------------------------------------
 # Chain fixture: a 40-node path glued onto the co-activity graph at
 # disjoint node ids.  A path is THE adversarial input for bounded
@@ -5006,34 +5092,59 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
 # new + changed-this-round queries sit in positions 1-50; veterans
 # with multiple prior driver greens rotate to the alphabetical tail.
-# r5 window: rotated IN ann_recall, corpus_pipeline, dedup_exact
-# (de-vacuated this round), dedup_incremental, pack_sequences,
-# split_three_way, stream_kg_triples; rotated OUT the seven r1-r4
-# four-green veterans kg_edges, kg_mentions_bio, kg_components,
-# kg_triples, kg_linked, dedup_minhash_lsh, dedup_jaccard.
+# r6 window: the 4 NEW queries (graph_kcore_fixpoint, dedup_substring,
+# dedup_substring_apply, ann_pq — registry now 105), the 7 CHANGED-in-r6
+# queries (ann_ivf rotated back IN from the tail: it now searches the
+# kmeans-refined index; ann_recall, ann_kmeans_refine, bpe_pair_counts
+# incremental-counts batching, graph_kcore rounds validation,
+# snapshot_time_travel facade hardening, sketch_heavy_hitters
+# sketches.py vectorization), the 13 r5-rotated-out veterans cycling
+# back per the ledger rule (kg_edges .. sketch_kmv_distinct), the 9
+# single-driver-green r5 entrants staying seated, and 17 keepers whose
+# implementation files are graph.py/io.py/sketches.py-adjacent or
+# r4-entrant.  Rotated OUT to the tail: 17 two-green (r4+r5) veterans
+# (eval_nested_report, stream_conv_totals, stream_mention_rate,
+# rel_session_window, stream_sessions, funnel, cohort_retention,
+# stats_outliers, cdc_apply, json_props, rel_pivot, rel_unpivot,
+# rel_rank_funcs, link_fuzzy, text_tfidf, rel_moving_avg, rel_scd2),
+# all untouched in r6, plus sample_weighted (r4+r5 greens) to make room
+# for ann_pq.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
-    "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
-    "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
-    "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
-    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
-    "funnel": (q_funnel, SQL_FUNNEL),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
-    "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "ann_kmeans_refine": (q_ann_kmeans, SQL_ANN_KMEANS),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "graph_kcore_fixpoint": (q_graph_kcore_fixpoint, SQL_GRAPH_KCORE_FIXPOINT),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_apply": (q_dedup_substring_apply, SQL_DEDUP_SUBSTRING_APPLY),
+    "snapshot_time_travel": (q_snapshot_time_travel, SQL_SNAPSHOT_TIME_TRAVEL),
+    "sketch_heavy_hitters": (q_sketch_heavy_hitters, SQL_SKETCH_HEAVY_HITTERS),
+    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
+    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
+    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
+    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
+    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
+    "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
+    "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
+    "text_arabic_normalize": (q_text_arabic_normalize, SQL_TEXT_ARABIC_NORMALIZE),
     "rel_gap_fill": (q_rel_gap_fill, SQL_REL_GAP_FILL),
-    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "sketch_kmv_by_flag": (q_sketch_kmv_by_flag, SQL_SKETCH_KMV_BY_FLAG),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
-    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
-    "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
-    "rel_rank_funcs": (q_rel_rank_funcs, SQL_REL_RANK_FUNCS),
-    "link_fuzzy": (q_link_fuzzy, SQL_LINK_FUZZY),
-    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
-    "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
-    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
-    "rel_moving_avg": (q_rel_moving_avg, SQL_REL_MOVING_AVG),
-    "rel_scd2": (q_rel_scd2, SQL_REL_SCD2),
     "sketch_hist_quantile": (q_sketch_hist_quantile, SQL_SKETCH_HIST_QUANTILE),
     "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
     "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
@@ -5041,78 +5152,66 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "sketch_heavy_hitters": (q_sketch_heavy_hitters, SQL_SKETCH_HEAVY_HITTERS),
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
     "text_urls": (q_text_urls, SQL_TEXT_URLS),
     "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
-    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
-    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
-    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
-    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
-    "dedup_substring_apply": (q_dedup_substring_apply, SQL_DEDUP_SUBSTRING_APPLY),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
-    "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
-    "ann_kmeans_refine": (q_ann_kmeans, SQL_ANN_KMEANS),
-    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
-    "graph_kcore_fixpoint": (q_graph_kcore_fixpoint, SQL_GRAPH_KCORE_FIXPOINT),
-    "text_arabic_normalize": (q_text_arabic_normalize, SQL_TEXT_ARABIC_NORMALIZE),
-    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
-    "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
-    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
-    "snapshot_time_travel": (q_snapshot_time_travel, SQL_SNAPSHOT_TIME_TRAVEL),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
+    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
     # ---- alphabetical tail: settled veterans (driver greens on file) ----
-    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
-    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
-    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
-    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
-    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
     "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
     "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
-    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
-    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
     "kg_top_surfaces": (q_kg_top_surfaces, SQL_KG_TOP_SURFACES),
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
-    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
+    "link_fuzzy": (q_link_fuzzy, SQL_LINK_FUZZY),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_meta": (q_mm_meta, SQL_MM_META),
-    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
     "rel_cube": (q_rel_cube, SQL_REL_CUBE),
     "rel_customers_no_orders": (q_rel_customers_no_orders, SQL_REL_NO_ORDERS),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
     "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
     "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
+    "rel_moving_avg": (q_rel_moving_avg, SQL_REL_MOVING_AVG),
+    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
+    "rel_rank_funcs": (q_rel_rank_funcs, SQL_REL_RANK_FUNCS),
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
+    "rel_scd2": (q_rel_scd2, SQL_REL_SCD2),
+    "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
+    "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
-    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
+    "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
+    "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
-    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
     "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),

@@ -319,6 +319,20 @@ def main() -> None:
         fn(spark, sf_dir).count()
         r5_timings[name] = round(time.time() - t0, 3)
 
+    # round-6 operator family, same single-shot convention
+    R6_OPS = [
+        "ann_pq",
+        "dedup_substring",
+        "dedup_substring_apply",
+        "graph_kcore_fixpoint",
+    ]
+    r6_timings = {}
+    for name in R6_OPS:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        r6_timings[name] = round(time.time() - t0, 3)
+
     skew = skew_leg(spark, sf_dir, cpus)
     ivf = ivf_cells_leg(spark, sf_dir)
     coact = coactivity_hot_minute_leg(spark, sf_dir)
@@ -338,6 +352,7 @@ def main() -> None:
                 "kg_edges_triples_per_sec": triples_per_sec,
                 "r4_ops": r4_timings,
                 "r5_ops": r5_timings,
+                "r6_ops": r6_timings,
                 "skew_hot_conv": skew,
                 "ivf_cells": ivf,
                 "coactivity_hot_minute": coact,
