@@ -4936,6 +4936,140 @@ SELECT q, neighbor, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= {PQ_TOPK}"""
 
 
+# --- z-order layout + Bloom pre-join (scan/join pruning family) ------
+ZO_BITS_UB = 6   # user bucket: user_id % 64
+ZO_BITS_HR = 5   # hour-of-day 0..23
+ZO_FILES = 16
+
+
+def q_layout_zorder(spark, sf_dir):
+    """Z-order vs linear layout, as oracle-gated pruning evidence
+    (operators/layout.py): bucketize events into (user_bucket 6 bits,
+    hour-of-day 5 bits), Morton-interleave the bits, slice the key
+    space into 16 equal-width files, and emit each file's row count +
+    per-dim min/max bounding box for BOTH layouts.  Under 'linear'
+    (ordered by user_bucket alone) every file spans the full hour
+    extent — a time predicate prunes nothing; under 'zorder' both
+    dims stay tight per file.  Pure integer bit arithmetic, so the
+    DuckDB oracle matches by value hash."""
+    from arabicner_spark.operators.layout import zorder_file_stats
+
+    e = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 64).cast("long").alias("ub"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    return zorder_file_stats(e, [("ub", ZO_BITS_UB), ("hr", ZO_BITS_HR)], ZO_FILES)
+
+
+def _sql_zvalue(c0: str, c1: str, bits: int) -> str:
+    """Morton interleave in portable SQL arithmetic: bit (b*2+i) of z
+    is bit b of column i."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({c0} >> {b}) & 1) << {b * 2})")
+        terms.append(f"((({c1} >> {b}) & 1) << {b * 2 + 1})")
+    return " + ".join(terms)
+
+
+SQL_LAYOUT_ZORDER = f"""WITH e AS (
+  SELECT CAST(user_id % 64 AS BIGINT) AS ub,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+  FROM events
+),
+tagged AS (
+  SELECT ub, hr,
+         CAST(({_sql_zvalue('ub', 'hr', 6)}) // {(2 ** 12 + ZO_FILES - 1) // ZO_FILES} AS INTEGER) AS zfile,
+         CAST(ub // {(2 ** 6 + ZO_FILES - 1) // ZO_FILES} AS INTEGER) AS lfile
+  FROM e
+)
+SELECT 'zorder' AS layout, zfile AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(ub) AS min_ub, max(ub) AS max_ub, min(hr) AS min_hr, max(hr) AS max_hr
+FROM tagged GROUP BY zfile
+UNION ALL
+SELECT 'linear', lfile, CAST(count(*) AS BIGINT),
+       min(ub), max(ub), min(hr), max(hr)
+FROM tagged GROUP BY lfile"""
+
+
+BLOOM_HASHES = 5
+BLOOM_MBITS = 8192
+
+
+def q_rel_bloom_prejoin(spark, sf_dir):
+    """Explicit runtime join filter (functions/bloom.py): Bloom-filter
+    orders' o_custkey against the ~10% of customers with
+    c_acctbal > 9000, then count — per order priority — total orders,
+    bloom-passing orders, exact semi-join matches, and false
+    positives.  The md5 hash family makes every pass/fail decision
+    portable, so selectivity AND the false-positive count are
+    oracle-gated numbers rather than probabilistic claims.  Plan
+    shape: the bit table (<= 8192 rows) broadcasts; the fact table is
+    never shuffled to evaluate the filter."""
+    from arabicner_spark.functions.bloom import bloom_bits, bloom_probe
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    bits = bloom_bits(cust, "c_custkey", BLOOM_HASHES, BLOOM_MBITS)
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    probe = bloom_probe(orders, "o_custkey", bits, BLOOM_HASHES, BLOOM_MBITS)
+    exact = cust.select(F.col("c_custkey").alias("key"), F.lit(1).alias("exact"))
+    j = (
+        orders.join(probe, orders["o_custkey"] == probe["key"])
+        .drop("key")
+        .join(F.broadcast(exact), orders["o_custkey"] == exact["key"], "left")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bloom_pass_orders"),
+        F.sum(F.when(F.col("exact") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_orders"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("exact").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_pos_orders"),
+    )
+
+
+_SQL_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || '|' "
+    "|| CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % " + str(BLOOM_MBITS)
+)
+
+SQL_REL_BLOOM_PREJOIN = f"""WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+),
+bits AS (
+  SELECT DISTINCT {_SQL_BLOOM_POS.format(j='t.j', key='c_custkey')} AS pos
+  FROM dim, unnest([1, 2, 3, 4, 5]) AS t(j)
+),
+fkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+probes AS (
+  SELECT key, {_SQL_BLOOM_POS.format(j='t.j', key='key')} AS pos
+  FROM fkeys, unnest([1, 2, 3, 4, 5]) AS t(j)
+),
+hits AS (
+  SELECT p.key, count(*) = count(b.pos) AS bloom_pass
+  FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.key
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN h.bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass_orders,
+       CAST(sum(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_orders,
+       CAST(sum(CASE WHEN h.bloom_pass AND d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_orders
+FROM orders o
+JOIN hits h ON h.key = o.o_custkey
+LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+GROUP BY o.o_orderpriority"""
+
+
 # --- true k-core (fixpoint peel) -------------------------------------
 # Chain fixture: a 40-node path glued onto the co-activity graph at
 # disjoint node ids.  A path is THE adversarial input for bounded
@@ -5092,8 +5226,9 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
 # new + changed-this-round queries sit in positions 1-50; veterans
 # with multiple prior driver greens rotate to the alphabetical tail.
-# r6 window: the 4 NEW queries (graph_kcore_fixpoint, dedup_substring,
-# dedup_substring_apply, ann_pq — registry now 105), the 7 CHANGED-in-r6
+# r6 window: the 6 NEW queries (graph_kcore_fixpoint, dedup_substring,
+# dedup_substring_apply, ann_pq, layout_zorder, rel_bloom_prejoin —
+# registry now 107), the 7 CHANGED-in-r6
 # queries (ann_ivf rotated back IN from the tail: it now searches the
 # kmeans-refined index; ann_recall, ann_kmeans_refine, bpe_pair_counts
 # incremental-counts batching, graph_kcore rounds validation,
@@ -5107,8 +5242,10 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # rel_session_window, stream_sessions, funnel, cohort_retention,
 # stats_outliers, cdc_apply, json_props, rel_pivot, rel_unpivot,
 # rel_rank_funcs, link_fuzzy, text_tfidf, rel_moving_avg, rel_scd2),
-# all untouched in r6, plus sample_weighted (r4+r5 greens) to make room
-# for ann_pq.
+# all untouched in r6, plus sample_weighted, graph_jaccard and
+# graph_bfs (r4+r5 greens; only the kcore functions changed in
+# graph.py) to make room for ann_pq, layout_zorder and
+# rel_bloom_prejoin.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
@@ -5158,8 +5295,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_urls": (q_text_urls, SQL_TEXT_URLS),
     "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
-    "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
-    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
+    "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
+    "rel_bloom_prejoin": (q_rel_bloom_prejoin, SQL_REL_BLOOM_PREJOIN),
     # ---- alphabetical tail: settled veterans (driver greens on file) ----
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
@@ -5173,6 +5310,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
+    "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),

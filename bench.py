@@ -325,6 +325,8 @@ def main() -> None:
         "dedup_substring",
         "dedup_substring_apply",
         "graph_kcore_fixpoint",
+        "layout_zorder",
+        "rel_bloom_prejoin",
     ]
     r6_timings = {}
     for name in R6_OPS:
