@@ -4936,6 +4936,99 @@ SELECT q, neighbor, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= {PQ_TOPK}"""
 
 
+# --- knowledge fusion + negative sampling (post-extraction KG steps) -
+_SQL_EDGE_OCC = """occ AS (
+  SELECT sa.entity_id AS src, tri.pred, sb.entity_id AS dst
+  FROM tri JOIN alias_best sa ON tri.subj = sa.alias
+           JOIN alias_best sb ON tri.obj = sb.alias
+)"""
+
+
+def _kg_edge_occurrences(spark, sf_dir):
+    """Canonical edges, one row PER SUPPORTING OCCURRENCE (q_kg_edges
+    without the final distinct — occurrences are fusion's votes)."""
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    t = triples_op.extract_triples(m, PREDS_TD, WINDOW_TD, width=pin_width(spark))
+    ab = F.broadcast(best_alias(alias_df_td(spark)))
+    t = t.join(
+        ab.select(F.col("alias").alias("subj"), F.col("entity_id").alias("src")), "subj"
+    ).join(
+        ab.select(F.col("alias").alias("obj"), F.col("entity_id").alias("dst")), "obj"
+    )
+    return t.select("src", "pred", "dst")
+
+
+def q_kg_fact_fusion(spark, sf_dir):
+    """Conflicting-fact resolution (operators/fusion.fuse_facts):
+    different conversations assert different objects for the same
+    (subject, predicate); fusion keeps the winner by support count
+    ((count desc, dst asc) total tie order) plus the support/total
+    evidence a consumer thresholds on.  One count agg + one arg-min
+    struct agg — no window, no self-join."""
+    from arabicner_spark.operators.fusion import fuse_facts
+
+    return fuse_facts(_kg_edge_occurrences(spark, sf_dir))
+
+
+SQL_KG_FACT_FUSION = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}, {_SQL_ALIAS},
+{_SQL_EDGE_OCC},
+sup AS (
+  SELECT src, pred, dst, CAST(count(*) AS BIGINT) AS support
+  FROM occ GROUP BY src, pred, dst
+),
+win AS (
+  SELECT src, pred, dst, support,
+         CAST(sum(support) OVER (PARTITION BY src, pred) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY src, pred) AS INTEGER) AS n_alternatives,
+         row_number() OVER (PARTITION BY src, pred ORDER BY support DESC, dst ASC) AS rn
+  FROM sup
+)
+SELECT src, pred, dst, support, total,
+       round(support / total, 4) AS share, n_alternatives
+FROM win WHERE rn = 1"""
+
+
+NEG_SAMPLES_K = 2
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Filtered corrupt-tail negative sampling for KG-embedding
+    training (operators/fusion.negative_samples): per distinct
+    positive triple and sample index j, the corrupted tail is the
+    entity at md5("j|src|pred|dst") mod |E| in the sorted entity
+    vocabulary; candidates that collide with a true positive are
+    DROPPED (filtered negatives), so every emitted row is a certified
+    false triple.  Entity vocab is dimension-sized (broadcast); the
+    data-sized work is one projection + one anti-join."""
+    from arabicner_spark.operators.fusion import negative_samples
+
+    return negative_samples(_kg_edge_occurrences(spark, sf_dir), k=NEG_SAMPLES_K)
+
+
+SQL_KG_NEGATIVE_SAMPLES = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}, {_SQL_ALIAS},
+{_SQL_EDGE_OCC},
+pos AS (SELECT DISTINCT src, pred, dst FROM occ),
+ents AS (
+  SELECT entity, CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS idx
+  FROM (SELECT src AS entity FROM pos UNION SELECT dst FROM pos)
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_ents FROM ents),
+draws AS (
+  SELECT src, pred, dst, CAST(t.j AS INTEGER) AS j,
+         CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || src || '|'
+               || pred || '|' || dst), 1, 8)) AS BIGINT) % n_ents AS idx
+  FROM pos, unnest([1, 2]) AS t(j), ne
+),
+cand AS (
+  SELECT d.src, d.pred, d.dst, d.j, e.entity AS neg_dst
+  FROM draws d JOIN ents e ON e.idx = d.idx
+)
+SELECT c.src, c.pred, c.dst, c.j, c.neg_dst
+FROM cand c LEFT JOIN pos p
+  ON p.src = c.src AND p.pred = c.pred AND p.dst = c.neg_dst
+WHERE p.src IS NULL"""
+
+
 # --- z-order layout + Bloom pre-join (scan/join pruning family) ------
 ZO_BITS_UB = 6   # user bucket: user_id % 64
 ZO_BITS_HR = 5   # hour-of-day 0..23
@@ -5226,9 +5319,10 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
 # new + changed-this-round queries sit in positions 1-50; veterans
 # with multiple prior driver greens rotate to the alphabetical tail.
-# r6 window: the 6 NEW queries (graph_kcore_fixpoint, dedup_substring,
-# dedup_substring_apply, ann_pq, layout_zorder, rel_bloom_prejoin —
-# registry now 107), the 7 CHANGED-in-r6
+# r6 window: the 8 NEW queries (graph_kcore_fixpoint, dedup_substring,
+# dedup_substring_apply, ann_pq, layout_zorder, rel_bloom_prejoin,
+# kg_fact_fusion, kg_negative_samples — registry now 109), the 7
+# CHANGED-in-r6
 # queries (ann_ivf rotated back IN from the tail: it now searches the
 # kmeans-refined index; ann_recall, ann_kmeans_refine, bpe_pair_counts
 # incremental-counts batching, graph_kcore rounds validation,
@@ -5242,10 +5336,11 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # rel_session_window, stream_sessions, funnel, cohort_retention,
 # stats_outliers, cdc_apply, json_props, rel_pivot, rel_unpivot,
 # rel_rank_funcs, link_fuzzy, text_tfidf, rel_moving_avg, rel_scd2),
-# all untouched in r6, plus sample_weighted, graph_jaccard and
-# graph_bfs (r4+r5 greens; only the kcore functions changed in
-# graph.py) to make room for ann_pq, layout_zorder and
-# rel_bloom_prejoin.
+# all untouched in r6, plus sample_weighted, graph_jaccard, graph_bfs
+# (r4+r5 greens; only the kcore functions changed in graph.py),
+# text_urls and kg_conv_profile (r4+r5 greens, untouched) to make room
+# for ann_pq, layout_zorder, rel_bloom_prejoin, kg_fact_fusion and
+# kg_negative_samples.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
@@ -5292,8 +5387,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
-    "text_urls": (q_text_urls, SQL_TEXT_URLS),
-    "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
+    "kg_fact_fusion": (q_kg_fact_fusion, SQL_KG_FACT_FUSION),
+    "kg_negative_samples": (q_kg_negative_samples, SQL_KG_NEGATIVE_SAMPLES),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
     "rel_bloom_prejoin": (q_rel_bloom_prejoin, SQL_REL_BLOOM_PREJOIN),
@@ -5313,6 +5408,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
     "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
@@ -5353,6 +5449,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
+    "text_urls": (q_text_urls, SQL_TEXT_URLS),
     "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),
     "vocab_tokens": (q_vocab_tokens, SQL_VOCAB_TOKENS),
 }

@@ -327,6 +327,8 @@ def main() -> None:
         "graph_kcore_fixpoint",
         "layout_zorder",
         "rel_bloom_prejoin",
+        "kg_fact_fusion",
+        "kg_negative_samples",
     ]
     r6_timings = {}
     for name in R6_OPS:
