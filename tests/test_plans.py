@@ -180,3 +180,31 @@ def test_label_propagation_rounds_use_agg_not_window(spark):
     p = plan_of(_lpa_round(adj, labels))
     assert "Window" not in nodes_of(p)
     assert "max_by" in p
+
+
+def test_r6_new_queries_plan_shapes(spark, sf_dir):
+    """Round-6 additions keep the 100-TB-safe shapes: PQ search and
+    the Bloom probe are broadcast-join-only (no cartesian, no BNLJ,
+    no sort-merge — the fact side is never shuffled to evaluate the
+    filter), and the z-order stats are pure aggregation (no joins at
+    all).  negative_samples is allowed exactly ONE one-row
+    BroadcastNestedLoopJoin: the entity-count scalar crossJoin, the
+    same documented pattern as the sketch family's one-row bounds."""
+    from arabicner_spark.plans.testdata_queries import QUERIES
+
+    for name in ("ann_pq", "rel_bloom_prejoin"):
+        p = plan_of(QUERIES[name][0](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+    p = plan_of(QUERIES["layout_zorder"][0](spark, sf_dir))
+    assert "Join" not in p
+    assert "PythonUDF" not in p
+
+    p = plan_of(QUERIES["kg_negative_samples"][0](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # one physical node = two mentions in formatted explain (tree +
+    # details), so ONE allowed BNLJ counts as <= 2 here
+    assert p.count("BroadcastNestedLoopJoin") <= 2
