@@ -146,6 +146,119 @@ def pagerank_exact(
     return ranks
 
 
+def pagerank_personalized_exact(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PERSONALIZED PageRank in the same fixed-point algebra as
+    :func:`pagerank_exact`: the teleport mass returns to the ``seeds``
+    node set instead of spreading uniformly, so ranks measure
+    relevance TO the seeds — the entity-neighborhood relevance query a
+    KG serves ("which entities matter around these seeds"), vs global
+    importance.  seeds = DataFrame with a ``node`` column; initial
+    mass and the per-step (1-d) teleport both split integrally over
+    the seed count.  Same per-round shape: one join + one
+    map-side-combinable sum + localCheckpoint."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sd = seeds.select("node").distinct().localCheckpoint(eager=True)
+    n_seeds = sd.count()
+    if n_seeds < 1:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out"))
+    base_s = (PR_SCALE * (100 - damping_pct)) // (100 * n_seeds)
+    # fold the per-node teleport base into the (checkpointed) node
+    # table ONCE — the loop then pays the same single join+agg per
+    # round as the uniform variant
+    nodes_b = nodes.join(sd.withColumn("is_seed", F.lit(1)), "node", "left").select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(base_s))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("base_i"),
+        F.when(F.col("is_seed") == 1, F.lit(PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("init_i"),
+    ).localCheckpoint(eager=True)
+    ranks = nodes_b.select("node", F.col("init_i").alias("rank_i"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_i div out").cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranks = (
+            nodes_b.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("base_i")
+                    + F.expr(f"(coalesce(inflow, 0) * {damping_pct}) div 100")
+                ).cast("long").alias("rank_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def temporal_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts_epoch",
+) -> DataFrame:
+    """Time-respecting reachability: (node, first_reach) — the
+    earliest arrival time at each node reachable from the ``seeds``
+    within ``rounds`` hops, where an edge may only be traversed at or
+    AFTER the time you arrived at its source (the defining constraint
+    of temporal graphs: a path must move forward in time — static
+    reachability overcounts by following edges that happened before
+    you got there).  Seeds start at time 0.  Per round: one
+    frontier-edge equi-join with the time filter + one min agg —
+    map-side combinable, state one row per reached node,
+    localCheckpoint per round; bounded rounds = deterministic +
+    unrolled-CTE-exact (the bfs_depths convention)."""
+    if rounds < 1:
+        raise ValueError(f"temporal_reach needs rounds >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(ts).alias("t")
+    ).distinct().localCheckpoint(eager=True)
+    arr = seeds.select("node").distinct().select(
+        "node", F.lit(0).cast("long").alias("first_reach")
+    )
+    for _ in range(rounds):
+        step = (
+            arr.join(e, arr["node"] == e["src"])
+            .where(F.col("t") >= F.col("first_reach"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("first_reach"))
+        )
+        arr = (
+            arr.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("first_reach").cast("long").alias("first_reach"))
+            .localCheckpoint(eager=True)
+        )
+    return arr
+
+
 def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Distinct undirected edge set as (a, b) with a < b, self-loops dropped.
 

@@ -4936,6 +4936,130 @@ SELECT q, neighbor, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= {PQ_TOPK}"""
 
 
+# --- personalized pagerank + temporal reachability -------------------
+PPR_SEEDS = 3
+
+
+def q_kg_pagerank_personalized(spark, sf_dir):
+    """PERSONALIZED PageRank over the canonical KG
+    (operators/graph.pagerank_personalized_exact): teleport mass
+    returns to the 3 lexicographically-smallest entity nodes, so
+    ranks measure relevance TO that seed neighborhood — the "which
+    entities matter around these" query a KG answers, vs kg_pagerank's
+    global importance.  Same fixed-point BIGINT algebra and per-round
+    join+agg shape; oracle unrolls the 5 seeded iterations."""
+    from arabicner_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_personalized_exact,
+    )
+
+    edges = q_kg_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(PPR_SEEDS)
+    pr = pagerank_personalized_exact(edges, seeds, iterations=5, damping_pct=85)
+    return pr.select(
+        "node", (F.col("rank_i").cast("double") / F.lit(float(PR_SCALE))).alias("rank")
+    )
+
+
+def _sql_ppr_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT nd.node,
+         (CASE WHEN sd.node IS NOT NULL THEN scnt.base ELSE 0 END)
+           + (coalesce(s.inflow, 0) * 85) // 100 AS rank_i
+  FROM nd LEFT JOIN sd ON sd.node = nd.node CROSS JOIN scnt
+  LEFT JOIN (SELECT e.dst AS node, sum(p.rank_i // od.outd) AS inflow
+             FROM {prev} p JOIN ed e ON e.src = p.node JOIN od ON od.src = e.src
+             GROUP BY e.dst) s ON s.node = nd.node
+)"""
+
+
+SQL_KG_PAGERANK_PERSONALIZED = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}, {_SQL_ALIAS},
+ed AS (SELECT DISTINCT sa.entity_id AS src, sb.entity_id AS dst
+       FROM tri JOIN alias_best sa ON tri.subj = sa.alias
+                JOIN alias_best sb ON tri.obj = sb.alias),
+nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+sd AS (SELECT node FROM nd ORDER BY node LIMIT {PPR_SEEDS}),
+scnt AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+                (CAST(1000000000 AS BIGINT) * 15) // (100 * CAST(count(*) AS BIGINT)) AS base
+         FROM sd),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS outd FROM ed GROUP BY src),
+pp0 AS (SELECT nd.node,
+               CASE WHEN sd.node IS NOT NULL THEN 1000000000 // scnt.ns ELSE 0 END AS rank_i
+        FROM nd LEFT JOIN sd ON sd.node = nd.node CROSS JOIN scnt),
+{_sql_ppr_iter('pp0', 'pp1')},
+{_sql_ppr_iter('pp1', 'pp2')},
+{_sql_ppr_iter('pp2', 'pp3')},
+{_sql_ppr_iter('pp3', 'pp4')},
+{_sql_ppr_iter('pp4', 'pp5')}
+SELECT node, CAST(rank_i AS DOUBLE) / 1000000000.0 AS rank FROM pp5"""
+
+
+TREACH_SEEDS = 2
+TREACH_ROUNDS = 3
+
+
+def q_kg_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability over the timestamped KG
+    (operators/graph.temporal_reach): an edge may only be traversed at
+    or AFTER arrival at its source — static reachability overcounts by
+    following edges that happened before you got there.  Seeds = the 2
+    lexicographically-smallest entity nodes at time 0; 3 bounded hops
+    (unrolled-CTE convention); output = earliest arrival epoch per
+    reached node."""
+    from arabicner_spark.operators.graph import temporal_reach
+
+    m = ner.extract_mentions(transcripts(spark, sf_dir), gazetteer_dict_td())
+    t = triples_op.extract_triples(m, PREDS_TD, WINDOW_TD, width=pin_width(spark))
+    ab = F.broadcast(best_alias(alias_df_td(spark)))
+    ts = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.unix_timestamp("ts").cast("long").alias("ts_epoch")
+    )
+    edges = (
+        t.join(ab.select(F.col("alias").alias("subj"), F.col("entity_id").alias("src")), "subj")
+        .join(ab.select(F.col("alias").alias("obj"), F.col("entity_id").alias("dst")), "obj")
+        .join(ts, ["conv_id", "turn_idx"])
+        .select("src", "dst", "ts_epoch")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(TREACH_SEEDS)
+    return temporal_reach(edges, seeds, rounds=TREACH_ROUNDS)
+
+
+def _sql_treach_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT node, CAST(min(first_reach) AS BIGINT) AS first_reach FROM (
+    SELECT node, first_reach FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS first_reach
+    FROM {prev} p JOIN ted e ON e.src = p.node AND e.t >= p.first_reach
+  ) GROUP BY node
+)"""
+
+
+SQL_KG_TEMPORAL_REACH = f"""WITH {_SQL_T}, {_SQL_MEN}, {_SQL_TRI}, {_SQL_ALIAS},
+ted AS (SELECT DISTINCT sa.entity_id AS src, sb.entity_id AS dst,
+               CAST(t.ts_epoch AS BIGINT) AS t
+        FROM tri JOIN alias_best sa ON tri.subj = sa.alias
+                 JOIN alias_best sb ON tri.obj = sb.alias
+                 JOIN t ON t.conv_id = tri.conv_id AND t.turn_idx = tri.turn_idx),
+tnd AS (SELECT src AS node FROM ted UNION SELECT dst FROM ted),
+tr0 AS (SELECT node, CAST(0 AS BIGINT) AS first_reach
+        FROM tnd ORDER BY node LIMIT {TREACH_SEEDS}),
+{_sql_treach_iter('tr0', 'tr1')},
+{_sql_treach_iter('tr1', 'tr2')},
+{_sql_treach_iter('tr2', 'tr3')}
+SELECT node, first_reach FROM tr3"""
+
+
 # --- knowledge fusion + negative sampling (post-extraction KG steps) -
 _SQL_EDGE_OCC = """occ AS (
   SELECT sa.entity_id AS src, tri.pred, sb.entity_id AS dst
@@ -5319,10 +5443,10 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
 # new + changed-this-round queries sit in positions 1-50; veterans
 # with multiple prior driver greens rotate to the alphabetical tail.
-# r6 window: the 8 NEW queries (graph_kcore_fixpoint, dedup_substring,
+# r6 window: the 10 NEW queries (graph_kcore_fixpoint, dedup_substring,
 # dedup_substring_apply, ann_pq, layout_zorder, rel_bloom_prejoin,
-# kg_fact_fusion, kg_negative_samples — registry now 109), the 7
-# CHANGED-in-r6
+# kg_fact_fusion, kg_negative_samples, kg_pagerank_personalized,
+# kg_temporal_reach — registry now 111), the 7 CHANGED-in-r6
 # queries (ann_ivf rotated back IN from the tail: it now searches the
 # kmeans-refined index; ann_recall, ann_kmeans_refine, bpe_pair_counts
 # incremental-counts batching, graph_kcore rounds validation,
@@ -5338,9 +5462,10 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # rel_rank_funcs, link_fuzzy, text_tfidf, rel_moving_avg, rel_scd2),
 # all untouched in r6, plus sample_weighted, graph_jaccard, graph_bfs
 # (r4+r5 greens; only the kcore functions changed in graph.py),
-# text_urls and kg_conv_profile (r4+r5 greens, untouched) to make room
-# for ann_pq, layout_zorder, rel_bloom_prejoin, kg_fact_fusion and
-# kg_negative_samples.
+# text_urls, kg_conv_profile, stream_join_enrich and stream_dedup
+# (r4+r5 greens, untouched) to make room for ann_pq, layout_zorder,
+# rel_bloom_prejoin, kg_fact_fusion, kg_negative_samples,
+# kg_pagerank_personalized and kg_temporal_reach.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
@@ -5381,8 +5506,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
     "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
     "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
-    "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
-    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "kg_pagerank_personalized": (q_kg_pagerank_personalized, SQL_KG_PAGERANK_PERSONALIZED),
+    "kg_temporal_reach": (q_kg_temporal_reach, SQL_KG_TEMPORAL_REACH),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
@@ -5440,6 +5565,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
     "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
     "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),

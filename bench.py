@@ -329,6 +329,8 @@ def main() -> None:
         "rel_bloom_prejoin",
         "kg_fact_fusion",
         "kg_negative_samples",
+        "kg_pagerank_personalized",
+        "kg_temporal_reach",
     ]
     r6_timings = {}
     for name in R6_OPS:

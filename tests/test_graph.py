@@ -259,3 +259,66 @@ def test_gated_kcore_fixpoint_dissolves_chain_fixture(spark):
         bounded.where(F.col("node") >= tq.KCORE_CHAIN_BASE).count()
         == tq.KCORE_CHAIN_LEN - 6  # two ends x 3 rounds eroded
     )
+
+
+def test_personalized_pagerank_python_twin(spark):
+    """Seeded fixed-point PPR equals a serial twin exactly, and mass
+    concentrates around the seed vs the uniform variant."""
+    from arabicner_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_exact,
+        pagerank_personalized_exact,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r["node"]: r["rank_i"]
+        for r in pagerank_personalized_exact(e, seeds, iterations=4).collect()
+    }
+
+    nodes = sorted({s for s, _d in edges} | {d for _s, d in edges})
+    out = {}
+    for s, _d in edges:
+        out[s] = out.get(s, 0) + 1
+    base_s = (PR_SCALE * 15) // 100  # one seed
+    rank = {n: (PR_SCALE if n == 1 else 0) for n in nodes}
+    for _ in range(4):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // out[s]
+        rank = {
+            n: (base_s if n == 1 else 0) + (inflow[n] * 85) // 100 for n in nodes
+        }
+    assert got == rank
+    # relevance is seed-local: node 2 (1 hop from seed) outranks node 5
+    # (3 hops), while the uniform variant ranks the 4<->5 sink cycle top
+    assert got[2] > got[5]
+    uni = {
+        r["node"]: r["rank_i"] for r in pagerank_exact(e, iterations=4).collect()
+    }
+    assert max(uni, key=uni.get) in (4, 5)
+
+
+def test_temporal_reach_respects_time_and_matches_twin(spark):
+    """An edge that fires BEFORE you arrive at its source is unusable:
+    A->B@10 then B->C@5 must NOT reach C (static reachability would).
+    Full operator output equals a serial forward-in-time twin."""
+    from arabicner_spark.operators.graph import temporal_reach
+
+    edges = [
+        (1, 2, 10),   # A->B at 10
+        (2, 3, 5),    # B->C at 5 < 10: dead for time-respecting paths
+        (2, 4, 20),   # B->D at 20 >= 10: usable
+        (4, 5, 15),   # D->E at 15 < 20: dead
+        (4, 6, 30),
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, ts_epoch bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r["node"]: r["first_reach"]
+        for r in temporal_reach(e, seeds, rounds=4).collect()
+    }
+    assert got == {1: 0, 2: 10, 4: 20, 6: 30}
+    assert 3 not in got and 5 not in got
