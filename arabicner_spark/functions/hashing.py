@@ -180,8 +180,23 @@ def lsh_candidate_pairs(
     id_col: str,
     materialize: bool = True,
     width: int | None = None,
+    dedupe: bool = True,
+    key_cols: List[str] | None = None,
 ) -> DataFrame:
     """Self-join on (band, sig): distinct (a, b) with a < b.
+
+    ``dedupe=False`` skips the final distinct and returns the raw pair
+    stream (one row per SHARED BAND, so a pair colliding in several
+    bands appears several times).  Callers that verify candidates with
+    a cheap per-pair predicate and keep only a tiny survivor set can
+    dedupe AFTER verification instead — the distinct then shuffles the
+    survivors, not the O(candidate) pair stream (r7, guide section
+    2.3: shuffle decisions' inputs, not the full pair table, when the
+    verifier is cheaper than the exchange).
+
+    ``key_cols`` overrides the join key (default ["band", "sig"]) —
+    e.g. a caller that packs band+sig into one integer column joins on
+    a single 8-byte key instead of an (int, string) composite.
 
     The shuffle key (band, sig) is high-cardinality; genuinely hot
     buckets (many near-identical texts) are exactly the pairs we want,
@@ -198,18 +213,19 @@ def lsh_candidate_pairs(
     bands, all on one thread.  Same starvation mode as the shingle
     stage (PLANS.md): pin the width when candidates >> bands.
     """
+    keys = key_cols if key_cols is not None else ["band", "sig"]
     if materialize:
         bands_df = bands_df.localCheckpoint(eager=True)
     if width:
-        bands_df = bands_df.repartition(width, F.col("band"), F.col("sig"))
-    a = bands_df.select(F.col(id_col).alias("a"), "band", "sig")
-    b = bands_df.select(F.col(id_col).alias("b"), "band", "sig")
-    return (
-        a.join(b, ["band", "sig"])
+        bands_df = bands_df.repartition(width, *[F.col(c) for c in keys])
+    a = bands_df.select(F.col(id_col).alias("a"), *keys)
+    b = bands_df.select(F.col(id_col).alias("b"), *keys)
+    out = (
+        a.join(b, keys)
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    return out.distinct() if dedupe else out
 
 
 def rademacher_matrix(n_hyperplanes: int, dim: int):
@@ -284,6 +300,178 @@ def sign_lsh_bands(
 
     return df.select(
         id_col, F.posexplode(band_sigs(F.col(vec_col))).alias("band", "sig")
+    )
+
+
+def _vector_matrix(vectors: DataFrame, id_col: str, vec_col: str):
+    """Collect (id, vector) into (sorted ids, float64 matrix, norms) —
+    the broadcast build side of the Arrow cosine verifier.  Norms use
+    the sequential per-dim fold + IEEE sqrt, bit-identical to
+    sqrt(aggregate(v, 0.0, acc + x*x))."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tbl = vectors.select(id_col, vec_col).toArrow()
+    ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
+    combined = tbl.column(vec_col).combine_chunks()
+    n = len(ids)
+    if n:
+        lens = pc.list_value_length(combined).to_numpy(zero_copy_only=False)
+        dims = np.unique(lens)
+        if len(dims) != 1:
+            raise ValueError(f"cosine verifier needs uniform dims, got {dims}")
+        dim = int(dims[0])
+        V = combined.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        ).reshape(n, dim)
+    else:
+        V = np.zeros((0, 1))
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = np.ascontiguousarray(V[order])
+    nacc = V[:, 0] * V[:, 0]
+    for i in range(1, V.shape[1]):
+        nacc = nacc + V[:, i] * V[:, i]
+    norms = np.sqrt(nacc)
+    return ids, V, norms
+
+
+def cosine_bucket_verify(
+    bands_packed: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    bucket_col: str = "bkey",
+    threshold: float = 0.45,
+    round_to: int = 4,
+    block_rows: int = 512,
+    width: int | None = None,
+) -> DataFrame:
+    """Per-bucket candidate generation + exact cosine verification in
+    one vectorized Arrow pass -> (a, b, cos) with a < b,
+    round(cos, round_to) >= threshold, deduped across buckets.
+
+    Replaces "self-join on the bucket key -> O(candidates) pair rows
+    -> verify" with the guide section 4.2 / section 8 shape: only the
+    BAND table (n_vectors x n_bands small rows) crosses the Python
+    boundary, partitioned by bucket; inside each partition numpy
+    enumerates each bucket's pairs and verifies them against the
+    broadcast vector matrix — the O(candidates) intermediate never
+    exists as rows anywhere.
+
+    Two-phase exactness (the gate-safe fast path):
+      1. SCREEN: per bucket, a blocked matmul G = M_blk @ M^T gives
+         every pair dot to within 64*eps relative cosine error
+         (classical fp error bound: |err| <= dim * eps * ||a|| ||b||,
+         and the cosine divides by exactly ||a|| ||b||).  Pairs are
+         kept when G >= (threshold - 10^-round_to - 1e-9) * na * nb —
+         a strict superset of everything that can round up to the
+         threshold; non-finite entries are kept too.
+      2. EXACT: survivors (a ~1e-4 fraction at near-dup thresholds)
+         are recomputed with the sequential per-dim fold
+         acc = acc + A[:,i]*B[:,i] — each step one IEEE multiply then
+         one IEEE add, bit-identical to the aggregate/zip_with fold —
+         and the exact division dot/(na*nb).  The JVM then applies the
+         exact round-half-up + threshold, so the kept rows and their
+         cos values are bit-identical to the all-JVM formulation.
+
+    Bucket members are processed in ascending id order, so emitted
+    pairs satisfy a < b; a pair colliding in several buckets is
+    emitted once per bucket and deduped by the final (tiny) distinct.
+    """
+    import numpy as np
+
+    spark = bands_packed.sparkSession
+    ids, V, norms = _vector_matrix(vectors, id_col, "v")
+    bc = spark.sparkContext.broadcast((ids, V, norms))
+    lowbound = threshold - 10.0 ** (-round_to)
+    screen_margin = 1e-9
+
+    def gen_verify(batches):
+        import pyarrow as pa
+
+        b_ids, b_V, b_norms = bc.value
+        empty = pa.RecordBatch.from_arrays(
+            [
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.float64()),
+            ],
+            ["a", "b", "raw"],
+        )
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            yield empty
+            return
+        part = pa.Table.from_batches(chunks)
+        vec = part.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = part.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vec, key))
+        vec, key = vec[order], key[order]
+        idx = np.searchsorted(b_ids, np.minimum(vec, b_ids[-1]))
+        if (b_ids[idx] != vec).any():
+            raise ValueError("band row id missing from vector table")
+        rows_v = b_V[idx]
+        rows_n = b_norms[idx]
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1], True])
+        out_a, out_b, out_raw = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            d = e - s
+            if d < 2:
+                continue
+            M = rows_v[s:e]
+            nb_ = rows_n[s:e]
+            mids = vec[s:e]
+            for b0 in range(0, d, block_rows):
+                b1 = min(b0 + block_rows, d)
+                G = M[b0:b1] @ M.T
+                thr = (lowbound - screen_margin) * np.outer(nb_[b0:b1], nb_)
+                with np.errstate(invalid="ignore"):
+                    keep = (G >= thr) | ~np.isfinite(G)
+                # strict upper triangle only: local row i (global b0+i)
+                # pairs with global cols j > b0+i
+                cols = np.arange(d)
+                keep &= cols[None, :] > (b0 + np.arange(b1 - b0))[:, None]
+                ii, jj = np.nonzero(keep)
+                if ii.size == 0:
+                    continue
+                gi = b0 + ii
+                A = M[gi]
+                B = M[jj]
+                acc = A[:, 0] * B[:, 0]
+                for t in range(1, M.shape[1]):
+                    acc = acc + A[:, t] * B[:, t]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    raw = acc / (nb_[gi] * nb_[jj])
+                    final = raw >= lowbound
+                if final.any():
+                    out_a.append(mids[gi[final]])
+                    out_b.append(mids[jj[final]])
+                    out_raw.append(raw[final])
+        if not out_a:
+            yield empty
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_a)),
+                pa.array(np.concatenate(out_b)),
+                pa.array(np.concatenate(out_raw)),
+            ],
+            ["a", "b", "raw"],
+        )
+
+    narrow = bands_packed.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(bucket_col).alias("bkey")
+    )
+    # every bucket must land whole in ONE partition — hash-partition on
+    # the bucket key (also pins the width of the verify stage; the band
+    # table is bytes-small, so AQE would otherwise fold it to a few
+    # partitions and serialize the numpy work)
+    narrow = narrow.repartition(width or 32, F.col("bkey"))
+    survivors = narrow.mapInArrow(gen_verify, "a long, b long, raw double")
+    return (
+        survivors.select("a", "b", F.round(F.col("raw"), round_to).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .distinct()
     )
 
 

@@ -33,6 +33,8 @@ dropped, matching the unrolled SQL oracle exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -514,6 +516,60 @@ def kcore(
     return surv.select("node", F.col("deg").cast("int").alias("deg"))
 
 
+KCORE_LOCAL_EDGE_LIMIT = int(
+    os.environ.get("ARABICNER_KCORE_LOCAL_EDGE_LIMIT", "8000000")
+)
+
+
+def _kcore_peel_local(a_arr, b_arr, k: int, max_rounds: int) -> tuple[list, int]:
+    """Exact wave-by-wave peel over an in-memory undirected distinct
+    edge list, fully vectorized (numpy CSR) — the same waves the
+    distributed loop would run (wave w removes every node whose degree
+    induced by wave w-1's survivors is < k; decrements from wave w's
+    removals land at the START of wave w+1, so a max_rounds cap leaves
+    degrees exactly where the distributed peel would).
+    Returns ([(node, deg)], rounds_run)."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a_arr, b_arr]), return_inverse=True)
+    m = len(a_arr)
+    ai, bi = inv[:m], inv[m:]
+    n = len(nodes)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    order = np.argsort(src, kind="stable")
+    dst_s = dst[order]
+    counts = np.bincount(src, minlength=n).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    deg = counts.copy()
+    alive = np.ones(n, dtype=bool)
+    rounds_run = 0
+    pending = None
+    for _ in range(max_rounds):
+        rounds_run += 1
+        if pending is not None and pending.size:
+            cnt = indptr[pending + 1] - indptr[pending]
+            total = int(cnt.sum())
+            if total:
+                rows = np.repeat(indptr[pending], cnt) + (
+                    np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                )
+                nbr = dst_s[rows]
+                nbr = nbr[alive[nbr]]
+                if nbr.size:
+                    deg = deg - np.bincount(nbr, minlength=n)
+        removed = np.flatnonzero(alive & (deg < k))
+        if removed.size == 0:
+            break
+        alive[removed] = False
+        pending = removed
+    surv = np.flatnonzero(alive)
+    node_list = nodes[surv].tolist()
+    deg_list = deg[surv].tolist()
+    return list(zip(node_list, deg_list)), rounds_run
+
+
 def kcore_fixpoint(
     edges: DataFrame,
     k: int = 2,
@@ -526,40 +582,95 @@ def kcore_fixpoint(
     fixed 3-round peel returns a superset on deep peeling chains,
     e.g. a path graph where each round only erodes the two ends).
 
-    -> (survivors (node, deg int), rounds_run).  Convergence signal =
-    survivor COUNT unchanged between rounds: the survivor set is
-    monotonically shrinking (each round intersects the previous), so
-    equal counts imply equal sets — one cheap count() per round, no
-    set comparison join.  ``max_rounds`` caps the loop (a path of
-    length L needs ~L/2 rounds; 50 covers any graph whose peel depth
-    a 100-TB job would tolerate — deeper peels should switch to the
-    O(log n) Henzinger-style batched peel before raising the cap).
+    -> (survivors (node, deg int), rounds_run).  The k-core fixpoint
+    is peel-order independent, so any correct peel yields the same
+    survivor set and induced degrees; rounds_run keeps the wave
+    semantics of the original loop (waves executed including the
+    empty confirming wave, capped by ``max_rounds``).
 
-    Same per-round plan shape as :func:`kcore`: two node-keyed
-    semi-joins + one count agg, localCheckpoint per round.
+    r7 restructure (guide sections 1.2/2.4 — the round COUNT was the
+    wall clock: ~21 sequential full-graph rounds on the deep-peel
+    fixture):
+
+      * DELTA peeling: degrees are computed over the full adjacency
+        ONCE; each wave subtracts only the edges incident to the
+        just-removed nodes (adjacency joined against the wave's small
+        removal set) instead of re-aggregating the whole induced
+        subgraph.  Per-wave shuffle bytes are proportional to the
+        removal wave, not the graph.
+      * ADAPTIVE LOCAL FINISH (the components.py
+        connected_components_adaptive pattern): below
+        ``KCORE_LOCAL_EDGE_LIMIT`` distinct undirected edges
+        (env-overridable; 8M edges ~ 128 MB Arrow — driver-trivial,
+        same class as components.py's adaptive union-find) the peel
+        runs as a vectorized in-memory wave simulation, replacing
+        O(rounds) scheduler latency with one Arrow collect.  At 100-TB
+        scale the distributed delta branch carries the load.
     """
     if max_rounds < 1:
         raise ValueError(f"kcore_fixpoint needs max_rounds >= 1, got {max_rounds}")
-    und = undirected_edges(edges, src, dst)
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = und.count()
+    node_type = edges.schema[src].dataType
+    spark = edges.sparkSession
+    if n_edges <= KCORE_LOCAL_EDGE_LIMIT:
+        tbl = und.toArrow()
+        import numpy as np
+
+        def _col(name):
+            col = tbl.column(name)
+            try:
+                return col.to_numpy(zero_copy_only=False)
+            except Exception:
+                return np.asarray(col.to_pylist(), dtype=object)
+
+        surv, rounds_run = _kcore_peel_local(_col("a"), _col("b"), k, max_rounds)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        schema = StructType(
+            [StructField("node", node_type), StructField("deg", IntegerType())]
+        )
+        out = spark.createDataFrame(
+            [(n, int(d)) for n, d in surv], schema
+        )
+        return out.select("node", F.col("deg").cast("int").alias("deg")), rounds_run
+
     adj = (
         und.select(F.col("a").alias("node"), F.col("b").alias("peer"))
         .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("peer")))
         .localCheckpoint(eager=True)
     )
-    nodes = adj.select("node").distinct()
-    n_prev = nodes.count()
-    surv = nodes.select("node", F.lit(0).alias("deg"))  # rounds=0 degenerate
+    # full degrees once; every later wave only applies decrements from
+    # the previous wave's removals (landing at the START of the next
+    # wave, so wave w's degrees are exactly those induced by wave
+    # w-1's survivors — the original loop's semantics, cap included)
+    state = adj.groupBy("node").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
     rounds_run = 0
+    pending = None
     for _ in range(max_rounds):
-        e = adj.join(nodes, "node").join(
-            nodes.select(F.col("node").alias("peer")), "peer"
-        )
-        deg = e.groupBy("node").agg(F.count("*").alias("deg"))
-        surv = deg.where(F.col("deg") >= k).localCheckpoint(eager=True)
         rounds_run += 1
-        n_now = surv.count()
-        nodes = surv.select("node")
-        if n_now == n_prev:
+        if pending is not None:
+            dec = (
+                adj.join(pending, "node")
+                .groupBy(F.col("peer").alias("node"))
+                .agg(F.count("*").alias("dec"))
+            )
+            state = (
+                state.where(F.col("deg") >= k)
+                .join(dec, "node", "left")
+                .select(
+                    "node", (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg")
+                )
+                .localCheckpoint(eager=True)
+            )
+        removed = state.where(F.col("deg") < k).select("node").localCheckpoint(
+            eager=True
+        )
+        if removed.isEmpty():
             break
-        n_prev = n_now
-    return surv.select("node", F.col("deg").cast("int").alias("deg")), rounds_run
+        pending = removed
+    return state.where(F.col("deg") >= k).select(
+        "node", F.col("deg").cast("int").alias("deg")
+    ), rounds_run

@@ -29,6 +29,8 @@ testdata refresh fails with a diagnosis, not a bare hash MISMATCH.
 
 from __future__ import annotations
 
+import os
+
 from typing import Callable, Dict, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +82,34 @@ ALIAS_TD = [
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of a testdata table — a zero-job cardinality
+    proxy for size-adaptive plan choices (the linking.py broadcast-limit
+    pattern, but without even a count job)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60  # unknown -> assume big (never broadcast blindly)
+
+
+# Vector-verify build side: use the broadcast-matrix Arrow verifier
+# (hashing.cosine_verify_pairs) while the vector table's parquet
+# footprint is below this (sf1.0 = 5.7 MB -> ~20 MB float64 matrix;
+# production: 64 MB parquet ~ a few hundred MB in executor memory,
+# safely bounded).  Above it the plan falls back to the original
+# width-pinned shuffle-join verify.
+EMB_BROADCAST_MAX_BYTES = int(
+    os.environ.get("ARABICNER_EMB_BROADCAST_MAX_BYTES", str(64 << 20))
+)
 
 
 def pin_width(spark: SparkSession) -> int:
@@ -1126,9 +1156,42 @@ def q_dedup_embedding(spark, sf_dir):
     bands = hashing.sign_lsh_bands(
         e, "vec_id", "v", bits_per_band=EMB_LSH_BITS, n_bands=EMB_LSH_BANDS
     )
-    # candidates >> bands at this LSH-hostile threshold (~75% of all
-    # pairs survive blocking) — pin the pair-join width, and spread the
-    # pair table before the vector-verify joins for the same reason
+    # r7 restructure (guide sections 1.2/2.3/4.2/8): candidates are
+    # ~0.78 x ALL pairs at this recall-1.0 parameterization — O(n^2)
+    # rows — so the old plan's "distinct pairs, then attach vectors by
+    # shuffle join, then CodegenFallback HOF dot" shuffled ~1.5e8 pair
+    # rows three times and verified them with interpreted per-element
+    # folds.  While the vector table is broadcastable, the O(n^2) pair
+    # stream now never exists as rows at all: band+sig packs into one
+    # long bucket key (sig is 5 '0'/'1' chars -> injective int), the
+    # band table alone (n x 48 small rows) crosses the Python
+    # boundary partitioned by bucket, and
+    # hashing.cosine_bucket_verify enumerates + verifies each bucket's
+    # pairs in numpy against the broadcast matrix (blocked-matmul
+    # screen with a proven error bound, then the bit-exact sequential
+    # fold for survivors; the final distinct sees only the ~1e4
+    # survivors instead of the ~1.5e8 candidates).  Above the
+    # broadcast threshold the original distinct-first shuffle-join
+    # plan is kept: with non-broadcastable vectors the verify joins
+    # shuffle the pair stream anyway, and the early distinct is what
+    # bounds them.
+    if table_bytes(sf_dir, "embeddings") <= EMB_BROADCAST_MAX_BYTES:
+        packed = bands.select(
+            "vec_id",
+            (
+                F.col("band").cast("long") * (1 << EMB_LSH_BITS)
+                + F.conv("sig", 2, 10).cast("long")
+            ).alias("bkey"),
+        )
+        return hashing.cosine_bucket_verify(
+            packed,
+            e,
+            id_col="vec_id",
+            bucket_col="bkey",
+            threshold=0.45,
+            round_to=4,
+            width=width,
+        )
     pairs = hashing.lsh_candidate_pairs(bands, "vec_id", width=width).repartition(
         width, F.col("a")
     )
