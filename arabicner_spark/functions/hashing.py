@@ -38,8 +38,19 @@ def word_shingles(
     text_col: str,
     n: int = 3,
     width: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct word n-gram shingles per id.
+
+    ``distinct=False`` skips the final distinct and returns the raw
+    shingle stream (duplicates per id possible).  Callers whose
+    downstream aggregate is DUPLICATE-INSENSITIVE — minhash is a MIN
+    over hashes, so the min over the multiset equals the min over the
+    set — should pass False: the explode then feeds the min's map-side
+    partial aggregation in the same stage and the shuffle carries one
+    row of longs per id instead of the full shingle stream (r7, guide
+    section 2.3 "aggregate before you shuffle").  Jaccard-style
+    consumers that COUNT shingles must keep the distinct.
 
     Pure array expressions (split -> transform over an index sequence ->
     explode): shingling is per-row work, so it must not shuffle — the
@@ -67,10 +78,8 @@ def word_shingles(
             " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        df.select(*id_cols, F.explode(shingle).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(*id_cols, F.explode(shingle).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def char_shingles(df: DataFrame, id_cols: List[str], text_col: str, n: int = 3) -> DataFrame:

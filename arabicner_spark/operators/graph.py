@@ -498,7 +498,33 @@ def kcore(
     round."""
     if rounds < 1:
         raise ValueError(f"kcore needs rounds >= 1, got {rounds}")
-    und = undirected_edges(edges, src, dst)
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    # r7: same adaptive local branch as kcore_fixpoint — the bounded
+    # peel is the identical wave process capped at ``rounds`` (waves
+    # past stabilization are no-ops, so early-stop == fixed-depth), so
+    # the vectorized simulation returns the identical survivor set and
+    # degrees without 3 full-graph join+agg rounds.
+    if und.count() <= KCORE_LOCAL_EDGE_LIMIT:
+        tbl = und.toArrow()
+        import numpy as np
+
+        def _col(name):
+            col = tbl.column(name)
+            try:
+                return col.to_numpy(zero_copy_only=False)
+            except Exception:
+                return np.asarray(col.to_pylist(), dtype=object)
+
+        surv, _w = _kcore_peel_local(_col("a"), _col("b"), k, rounds)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        node_type = edges.schema[src].dataType
+        schema = StructType(
+            [StructField("node", node_type), StructField("deg", IntegerType())]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(n, int(d)) for n, d in surv], schema
+        ).select("node", F.col("deg").cast("int").alias("deg"))
     adj = (
         und.select(F.col("a").alias("node"), F.col("b").alias("peer"))
         .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("peer")))

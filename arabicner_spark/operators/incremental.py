@@ -53,8 +53,11 @@ def dedup_state(docs: DataFrame, width: int | None = None) -> Dict[str, DataFram
         F.col("rep").alias("a"), F.explode("ids").alias("b")
     ).where(F.col("a") != F.col("b"))
     reps = g.select(F.col("rep").alias("id"), "text")
-    sh = hashing.word_shingles(reps, ["id"], "text", n=3, width=width)
-    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16, width=width)
+    # distinct=False + width=None: minhash's min is duplicate-
+    # insensitive, so the shingle distinct exchange is skipped and the
+    # explode feeds the map-side partial min directly (r7, guide 2.3)
+    sh = hashing.word_shingles(reps, ["id"], "text", n=3, width=width, distinct=False)
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     bands = hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2).localCheckpoint(
         eager=True
     )
@@ -135,8 +138,10 @@ def dedup_incremental(
     ).where(F.col("a") != F.col("b"))
     new_reps = g.select(F.col("rep").alias("id"), "text")
 
-    sh = hashing.word_shingles(new_reps, ["id"], "text", n=3, width=width)
-    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16, width=width)
+    sh = hashing.word_shingles(
+        new_reps, ["id"], "text", n=3, width=width, distinct=False
+    )
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     new_bands = hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2).localCheckpoint(
         eager=True
     )

@@ -52,14 +52,27 @@ def repeated_substring_cuts(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    width: int | None = None,
 ) -> DataFrame:
     """Maximal cross-document repeated token runs of length >= ``k``
     as a cut list (doc_id, start_tok 1-based, len_tok).  A span is cut
     iff every k-window inside it occurs in at least 2 DISTINCT
     documents — within-doc repetition alone never fires (that
-    modality is text_repetition's)."""
+    modality is text_repetition's).
+
+    ``width``: explicit partition count for the gram explode + hash +
+    partial-agg stage — the compute-heavy part (one md5 per token
+    position), whose width is otherwise whatever the doc scan has.  A
+    few-MB parquet file is one or two splits, so the whole gram stage
+    runs on 1-2 cores (measured: the dominant cost of this operator at
+    sf1.0, r7).  Repartitioning the DOC rows (cheap — one small row
+    per document) by id first makes the per-gram work data-parallel:
+    the word_shingles width pin, same starvation mode (guide sections
+    2.5/6: input split count caps stage parallelism)."""
     if k < 1:
         raise ValueError(f"repeated_substring_cuts needs k >= 1, got {k}")
+    if width:
+        docs = docs.repartition(width, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     # sequence(1, n-k+1) is DESCENDING in Spark when n < k — guard it

@@ -759,12 +759,14 @@ def q_kg_components(spark, sf_dir):
         F.col("doc_id").cast("string").alias("id"), "text"
     )
     reps, star = _exact_group_reps(d)
+    # distinct=False + width=None: minhash is a min, so the shingle
+    # distinct is redundant — the explode feeds the min's map-side
+    # partial agg in one stage and the shuffle carries one row of
+    # longs per id (r7, guide section 2.3)
     sh = hashing.word_shingles(
-        reps, ["id"], "text", n=3, width=pin_width(spark)
+        reps, ["id"], "text", n=3, width=pin_width(spark), distinct=False
     )
-    sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=pin_width(spark)
-    )
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
@@ -971,7 +973,7 @@ def q_dedup_substring(spark, sf_dir):
     from arabicner_spark.operators.repeated import repeated_substring_cuts
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return repeated_substring_cuts(d, k=SUBSTR_K)
+    return repeated_substring_cuts(d, k=SUBSTR_K, width=pin_width(spark))
 
 
 _SQL_SUBSTR_CUTS = f"""d AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -1005,7 +1007,9 @@ def q_dedup_substring_apply(spark, sf_dir):
     )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    cuts = repeated_substring_cuts(d, k=SUBSTR_K).localCheckpoint(eager=True)
+    cuts = repeated_substring_cuts(
+        d, k=SUBSTR_K, width=pin_width(spark)
+    ).localCheckpoint(eager=True)
     return apply_substring_cuts(d, cuts)
 
 
@@ -1029,12 +1033,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
     )
+    # distinct=False + width=None: the min-fold makes the shingle
+    # distinct redundant (r7, guide section 2.3 — see word_shingles)
     sh = hashing.word_shingles(
-        d, ["id"], "text", n=3, width=pin_width(spark)
+        d, ["id"], "text", n=3, width=pin_width(spark), distinct=False
     )
-    sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=pin_width(spark)
-    )
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
@@ -1949,8 +1953,10 @@ def q_text_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.col("text")
     )
+    # distinct=False: min over seeded hashes is duplicate-insensitive,
+    # so the shingle distinct was a wasted exchange (r7, guide 2.3)
     sh = hashing.word_shingles(
-        d, ["doc_id"], "text", n=3, width=pin_width(spark)
+        d, ["doc_id"], "text", n=3, width=pin_width(spark), distinct=False
     )
     return sh.groupBy("doc_id").agg(
         F.min(hashing.seeded_md5(F.col("shingle"), 99)).alias("fingerprint")
@@ -2196,12 +2202,11 @@ def q_dedup_survivors(spark, sf_dir):
     # exact groups give both the star edges AND the LSH input (reps
     # only — see _exact_group_reps for why this is output-identical)
     reps, exact = _exact_group_reps(d)
+    # distinct=False + width=None: min-fold, see word_shingles (r7)
     sh = hashing.word_shingles(
-        reps, ["id"], "text", n=3, width=pin_width(spark)
+        reps, ["id"], "text", n=3, width=pin_width(spark), distinct=False
     )
-    sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=pin_width(spark)
-    )
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16)
     near = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
@@ -5016,7 +5021,11 @@ def q_kg_pagerank_personalized(spark, sf_dir):
         pagerank_personalized_exact,
     )
 
-    edges = q_kg_edges(spark, sf_dir)
+    # materialize the NER -> triples -> linked-edges prefix ONCE: the
+    # seed derivation and the operator's own edge checkpoint otherwise
+    # each replay the whole upstream chain (r7; DataFrame DAGs have no
+    # common-subexpression reuse — the triangle_count precedent)
+    edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -5087,6 +5096,9 @@ def q_kg_temporal_reach(spark, sf_dir):
         .join(ab.select(F.col("alias").alias("obj"), F.col("entity_id").alias("dst")), "obj")
         .join(ts, ["conv_id", "turn_idx"])
         .select("src", "dst", "ts_epoch")
+        # materialized once: seeds AND the operator's edge checkpoint
+        # both consume it — without this the NER chain replays twice (r7)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -322,3 +322,30 @@ def test_temporal_reach_respects_time_and_matches_twin(spark):
     }
     assert got == {1: 0, 2: 10, 4: 20, 6: 30}
     assert 3 not in got and 5 not in got
+
+
+def test_kcore_distributed_delta_branch_matches_local(spark, monkeypatch):
+    """r7: kcore/kcore_fixpoint gained an adaptive local fast path and
+    a distributed DELTA-peel branch.  Force the distributed branch
+    (limit=0) and pin that survivors, degrees, and rounds_run equal
+    the local wave simulation on a deep-peel graph (path + triangle +
+    a 4-clique tail)."""
+    from arabicner_spark.operators import graph
+
+    path = [(i, i + 1) for i in range(9)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    clique = [(a, b) for a in range(200, 204) for b in range(a + 1, 204)]
+    edges = spark.createDataFrame(path + tri + clique, "src bigint, dst bigint")
+
+    local_fixed, local_rounds = graph.kcore_fixpoint(edges, k=2)
+    local_bounded = {(r.node, r.deg) for r in graph.kcore(edges, k=2, rounds=2).collect()}
+
+    monkeypatch.setattr(graph, "KCORE_LOCAL_EDGE_LIMIT", 0)
+    dist_fixed, dist_rounds = graph.kcore_fixpoint(edges, k=2)
+    dist_bounded = {(r.node, r.deg) for r in graph.kcore(edges, k=2, rounds=2).collect()}
+
+    assert {(r.node, r.deg) for r in dist_fixed.collect()} == {
+        (r.node, r.deg) for r in local_fixed.collect()
+    }
+    assert dist_rounds == local_rounds
+    assert dist_bounded == local_bounded
