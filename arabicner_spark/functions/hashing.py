@@ -82,6 +82,71 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
+def shingle_hash_table(
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    width: int | None = None,
+) -> DataFrame:
+    """Per-document DISTINCT word n-gram shingles as md5 identities:
+    (id, h32, hi, lo) — h32 = the minhash base (first 8 md5 hex chars
+    as a long, byte-identical to minhash_base), (hi, lo) = the full
+    128-bit md5 as two signed longs.
+
+    The Arrow twin of word_shingles + minhash_base for EXACT-set
+    consumers (guide section 4.2): shingle construction, per-document
+    dedup (a Python set — per-doc distinct equals the global
+    (id, shingle) distinct, so no exchange is needed for it), and the
+    md5 run per batch in the Python worker; downstream set algebra
+    (intersection counts, set sizes) joins on two fixed-width longs
+    instead of variable-length shingle strings.  Identifying shingles
+    by their full md5 is the repo's standing convention (exact dedup
+    groups documents by md5(text) the same way); distinct shingles
+    with colliding md5s are the one divergence mode, as everywhere
+    else md5 identity is used.
+    """
+    import hashlib
+
+    if width:
+        docs = docs.repartition(width, F.col(id_col))
+    narrow = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def hash_shingles(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id, out_h32, out_hi, out_lo = [], [], [], []
+            for i, txt in zip(ids, texts):
+                toks = (txt or "").split(" ")
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for p in range(len(toks) - n + 1):
+                    seen.add(" ".join(toks[p : p + n]))
+                for s in seen:
+                    d = hashlib.md5(s.encode("utf-8")).digest()
+                    out_id.append(i)
+                    out_h32.append(int.from_bytes(d[:4], "big"))
+                    out_hi.append(int.from_bytes(d[:8], "big", signed=True))
+                    out_lo.append(int.from_bytes(d[8:16], "big", signed=True))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.string()),
+                    pa.array(out_h32, type=pa.int64()),
+                    pa.array(out_hi, type=pa.int64()),
+                    pa.array(out_lo, type=pa.int64()),
+                ],
+                ["id", "h32", "hi", "lo"],
+            )
+
+    return narrow.mapInArrow(
+        hash_shingles, "id string, h32 long, hi long, lo long"
+    )
+
+
 def char_shingles(df: DataFrame, id_cols: List[str], text_col: str, n: int = 3) -> DataFrame:
     """Distinct char n-gram shingles per id (for short surface forms).
 
@@ -138,6 +203,7 @@ def minhash_signatures(
     id_cols: List[str],
     n_hashes: int = 16,
     width: int | None = None,
+    base_col: str | None = None,
 ) -> DataFrame:
     """id -> [h0..h{n-1}] BIGINT minhash columns, ONE aggregation pass.
 
@@ -157,7 +223,10 @@ def minhash_signatures(
     if width:
         shingles = shingles.repartition(width, *[F.col(c) for c in id_cols])
     consts = minhash_affine_consts(n_hashes)
-    base = minhash_base(F.col("shingle"))
+    # ``base_col``: a caller that already carries the 32-bit md5 base
+    # as a long column (e.g. shingle_hash_table) skips the in-plan
+    # md5+conv entirely
+    base = F.col(base_col) if base_col else minhash_base(F.col("shingle"))
     aggs = [
         F.min((base * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{s}")
         for s, (a, b) in enumerate(consts)

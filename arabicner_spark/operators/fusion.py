@@ -82,8 +82,15 @@ def negative_samples(edges: DataFrame, k: int = 2) -> DataFrame:
     candidates whose corrupted triple IS a positive are dropped via
     anti-join (filtered sampling), as are self-corruptions that drew
     the true tail."""
-    pos = edges.select("src", "pred", "dst").distinct()
-    ents = entity_index(edges)
+    # pos is consumed by the draws AND the anti-join, and the entity
+    # index + its count derive from the same upstream — without a
+    # materialization the whole upstream chain (the Python NER stage,
+    # when fed from extraction) replays once per consumer, four times
+    # total (r7).  pos is the distinct triple set — small — and the
+    # entity vocabulary derived from pos equals the one derived from
+    # raw edges (distinct src/dst of a distinct projection).
+    pos = edges.select("src", "pred", "dst").distinct().localCheckpoint(eager=True)
+    ents = entity_index(pos).localCheckpoint(eager=True)
     n_ents = ents.agg(F.count("*").cast("long").alias("n_ents"))
     draws = pos.crossJoin(F.broadcast(n_ents)).select(
         "src",

@@ -447,7 +447,38 @@ def label_propagation(
     (node, label) row per node; localCheckpoint cuts lineage per round
     like pagerank/components.
     """
-    und = undirected_edges(edges, src, dst)
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    # r7: adaptive local branch (the kcore/components pattern).  The
+    # synchronous LPA round is a pure integer function of the edge set
+    # — vote counts + (max count, min label) arg-max — so a vectorized
+    # in-memory simulation of the SAME fixed rounds returns the
+    # identical label table without 3x (join + two aggs +
+    # localCheckpoint) scheduler rounds.  Integer node ids only (label
+    # = node id cast long); anything else takes the distributed loop.
+    if und.count() <= KCORE_LOCAL_EDGE_LIMIT:
+        import numpy as np
+
+        tbl = und.toArrow()
+        try:
+            a_arr = tbl.column("a").to_numpy(zero_copy_only=False)
+            b_arr = tbl.column("b").to_numpy(zero_copy_only=False)
+        except Exception:
+            a_arr = b_arr = None
+        if (
+            a_arr is not None
+            and a_arr.dtype.kind in "iu"
+            and b_arr.dtype.kind in "iu"
+        ):
+            out_rows = _lpa_local(a_arr, b_arr, rounds)
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            node_type = edges.schema[src].dataType
+            schema = StructType(
+                [StructField("node", node_type), StructField("label", LongType())]
+            )
+            return edges.sparkSession.createDataFrame(out_rows, schema).select(
+                "node", F.col("label").cast("long").alias("label")
+            )
     adj = (
         und.select(F.col("a").alias("node"), F.col("b").alias("peer"))
         .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("peer")))
@@ -459,6 +490,39 @@ def label_propagation(
     for _ in range(rounds):
         labels = _lpa_round(adj, labels).localCheckpoint(eager=True)
     return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+def _lpa_local(a_arr, b_arr, rounds: int) -> list:
+    """Vectorized synchronous LPA over an in-memory undirected edge
+    list: per round each node adopts the most frequent neighbor label,
+    ties to the SMALLEST label — exactly _lpa_round's
+    max_by(label, (n, -label)) arg-max.  Labels are node ids; nodes
+    are compacted to sorted indices, so index order == label order and
+    the tie-break carries over.  Returns [(node, label_long)]."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a_arr, b_arr]), return_inverse=True)
+    m = len(a_arr)
+    ai, bi = inv[:m], inv[m:]
+    n = len(nodes)
+    if n >= (1 << 31):
+        raise ValueError("graph too large for local LPA simulation")
+    node_side = np.concatenate([ai, bi]).astype(np.int64)
+    peer_side = np.concatenate([bi, ai]).astype(np.int64)
+    label = np.arange(n, dtype=np.int64)  # index == sorted-id order
+    for _ in range(rounds):
+        pl = label[peer_side]
+        key = node_side * n + pl
+        uk, cnt = np.unique(key, return_counts=True)
+        un = uk // n
+        ul = uk % n
+        order = np.lexsort((ul, -cnt, un))
+        _, first = np.unique(un[order], return_index=True)
+        chosen = order[first]
+        new_label = label.copy()
+        new_label[un[chosen]] = ul[chosen]
+        label = new_label
+    return list(zip(nodes.tolist(), nodes[label].astype(np.int64).tolist()))
 
 
 def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:

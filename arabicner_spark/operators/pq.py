@@ -166,6 +166,50 @@ def adc_topk(
     )
 
 
+def pq_index_and_search_joins(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    updates: int = 1,
+    query_ids=range(10),
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """The original join-dataflow composition (explode -> subspace
+    split -> train -> encode -> ADC) — kept as the reference twin for
+    the Arrow fast path's parity test."""
+    ev = explode_fp(vectors, id_col, vec_col)
+    dims = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible into m={m} subspaces")
+    sv = subspace_ev(ev, dims // m, id_col).localCheckpoint(eager=True)
+    cents = train_codebooks(sv, k, updates, id_col)
+    codes = pq_encode(sv, cents, id_col)
+    return adc_topk(sv, cents, codes, query_ids, topk, id_col)
+
+
+def _fixed(np, X):
+    """floor(v * 1e6) as int64 — explode_fp's fixed-point, bit-exact
+    (same double multiply + floor)."""
+    return np.floor(X * 1e6).astype(np.int64)
+
+
+def _assign_np(np, Xi, cents_per_sub):
+    """(B, m, sdims) fixed subvectors + per-sub (sorted cls, (n_cl,
+    sdims) centroid matrix) -> (B, m) code positions.  Exact int64 L2²
+    with np.argmin's first-tie == the join path's min struct(dist, cl)
+    (cls sorted ascending)."""
+    B, m, _ = Xi.shape
+    pos = np.empty((B, m), dtype=np.int64)
+    for s in range(m):
+        _cls, C = cents_per_sub[s]
+        diff = Xi[:, s, :, None] - C.T[None, :, :]     # (B, sdims, n_cl)
+        dist = (diff * diff).sum(axis=1)               # exact int64
+        pos[:, s] = np.argmin(dist, axis=1)
+    return pos
+
+
 def pq_index_and_search(
     vectors: DataFrame,
     m: int = 4,
@@ -176,14 +220,178 @@ def pq_index_and_search(
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """End-to-end: fixed-point explode -> subspace split -> codebook
-    training (one Lloyd update) -> encode -> ADC top-k for the query
-    ids.  Dimensionality must divide evenly into ``m`` subspaces."""
-    ev = explode_fp(vectors, id_col, vec_col)
-    dims = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    """End-to-end PQ: codebook training (seed = ids < k, ``updates``
+    Lloyd steps) -> encode -> ADC top-k for the query ids.
+
+    r7 restructure (guide sections 1.2/4.2): the join dataflow
+    exploded every vector into m*sdims rows and pushed ~k x that
+    through two hash aggregations PER ASSIGN (three assigns for one
+    update + encode + search).  The same exact int64 fixed-point
+    algebra now runs as two Arrow passes over the VECTOR table:
+
+      pass 1 (per Lloyd update): per-batch assignment against the
+        current codebook in numpy + per-batch partial sums
+        (sub, cl, sdim, sum, n) — 512-row batches into one tiny JVM
+        agg; the integral-mean centroid update happens driver-side on
+        exact Python ints (the codebook is m*k*sdims values — the
+        same dimension-class as the existing dims/seed collects).
+      pass 2: encode + ADC in one pass — the ADC distance table is
+        computed driver-side from the final codebook and broadcast;
+        each batch emits (q, neighbor, adc_dist) rows and the JVM
+        keeps the per-q top-k (WindowGroupLimit).
+
+    Every quantity is int64 (sums order-independent, argmin ties to
+    the smallest code), so the result is bit-identical to the join
+    dataflow — pinned by tests/test_pq.py's parity test.
+    """
+    import numpy as np
+
+    spark = vectors.sparkSession
+    qset = list(query_ids)
+
+    def _collect_matrix(df):
+        tbl = df.select(id_col, vec_col).toArrow()
+        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
+        arrs = tbl.column(vec_col).to_pylist()
+        return ids, np.asarray(arrs, dtype=np.float64)
+
+    seed_ids, seedV = _collect_matrix(
+        vectors.where(F.col(id_col) < k).orderBy(id_col)
+    )
+    if seedV.size == 0:
+        raise ValueError("pq needs seed vectors with id < k")
+    dims = seedV.shape[1]
     if dims % m:
         raise ValueError(f"dims {dims} not divisible into m={m} subspaces")
-    sv = subspace_ev(ev, dims // m, id_col).localCheckpoint(eager=True)
-    cents = train_codebooks(sv, k, updates, id_col)
-    codes = pq_encode(sv, cents, id_col)
-    return adc_topk(sv, cents, codes, query_ids, topk, id_col)
+    sdims = dims // m
+    seedXi = _fixed(np, seedV).reshape(len(seed_ids), m, sdims)
+    # codebook representation: per sub, (sorted cl array, (n_cl, sdims))
+    cents = [
+        (seed_ids.copy(), seedXi[:, s, :].copy()) for s in range(m)
+    ]
+
+    for _ in range(updates):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partial_sums(batches):
+            import pyarrow as pa
+
+            cb = bc.value
+            acc_s = [np.zeros((len(cb[s][0]), sdims), dtype=np.int64) for s in range(m)]
+            acc_n = [np.zeros(len(cb[s][0]), dtype=np.int64) for s in range(m)]
+            for batch in batches:
+                vals = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+                if vals.size == 0:
+                    continue
+                Xi = _fixed(np, vals).reshape(len(vals), m, sdims)
+                pos = _assign_np(np, Xi, cb)
+                for s in range(m):
+                    np.add.at(acc_s[s], pos[:, s], Xi[:, s, :])
+                    np.add.at(acc_n[s], pos[:, s], 1)
+            sub_o, cl_o, sd_o, s_o, n_o = [], [], [], [], []
+            for s in range(m):
+                cls = cb[s][0]
+                for ci, cl in enumerate(cls):
+                    for d in range(sdims):
+                        sub_o.append(s + 1)
+                        cl_o.append(int(cl))
+                        sd_o.append(d + 1)
+                        s_o.append(int(acc_s[s][ci, d]))
+                        n_o.append(int(acc_n[s][ci]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sub_o, type=pa.int32()),
+                    pa.array(cl_o, type=pa.int32()),
+                    pa.array(sd_o, type=pa.int32()),
+                    pa.array(s_o, type=pa.int64()),
+                    pa.array(n_o, type=pa.int64()),
+                ],
+                ["sub", "cl", "sdim", "s", "n"],
+            )
+
+        agg = (
+            vectors.select(id_col, vec_col)
+            .mapInArrow(partial_sums, "sub int, cl int, sdim int, s long, n long")
+            .groupBy("sub", "cl", "sdim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
+            .collect()
+        )
+        per_sub: dict = {}
+        for r in agg:
+            per_sub.setdefault(r["sub"] - 1, {}).setdefault(r["cl"], {})[
+                r["sdim"] - 1
+            ] = r["s"]
+        new_cents = []
+        for s in range(m):
+            cls = sorted(per_sub.get(s, {}))
+            C = np.zeros((len(cls), sdims), dtype=np.int64)
+            n_of = {r["cl"]: r["n"] for r in agg if r["sub"] - 1 == s}
+            for ci, cl in enumerate(cls):
+                n_ = n_of[cl]
+                for d in range(sdims):
+                    sv = per_sub[s][cl][d]
+                    # sign(s) * (abs(s) div n) on exact ints
+                    C[ci, d] = (1 if sv >= 0 else -1) * (abs(sv) // n_)
+            new_cents.append((np.asarray(cls, dtype=np.int64), C))
+        cents = new_cents
+
+    # driver-side ADC distance table from the final codebook
+    q_ids, qV = _collect_matrix(
+        vectors.where(F.col(id_col).isin(qset)).orderBy(id_col)
+    )
+    qXi = (
+        _fixed(np, qV).reshape(len(q_ids), m, sdims)
+        if qV.size
+        else np.zeros((0, m, sdims), dtype=np.int64)
+    )
+    dtab = []  # per sub: (n_q, n_cl) int64
+    for s in range(m):
+        _cls, C = cents[s]
+        diff = qXi[:, s, :, None] - C.T[None, :, :]
+        dtab.append((diff * diff).sum(axis=1))
+    bc2 = spark.sparkContext.broadcast((cents, q_ids, dtab))
+
+    def encode_score(batches):
+        import pyarrow as pa
+
+        cb, qids, dt = bc2.value
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vals = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+            if len(ids) == 0 or len(qids) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([], type=pa.int64()),
+                        pa.array([], type=pa.int64()),
+                        pa.array([], type=pa.int64()),
+                    ],
+                    ["q", "neighbor", "adc_dist"],
+                )
+                continue
+            Xi = _fixed(np, vals).reshape(len(ids), m, sdims)
+            pos = _assign_np(np, Xi, cb)
+            adc = dt[0][:, pos[:, 0]]
+            for s in range(1, m):
+                adc = adc + dt[s][:, pos[:, s]]     # (n_q, B) exact int64
+            nq, B = adc.shape
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, B)),
+                    pa.array(np.tile(ids.astype(np.int64), nq)),
+                    pa.array(adc.reshape(-1)),
+                ],
+                ["q", "neighbor", "adc_dist"],
+            )
+
+    scored = vectors.select(id_col, vec_col).mapInArrow(
+        encode_score, "q long, neighbor long, adc_dist long"
+    ).where(F.col("q") != F.col("neighbor"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.col("adc_dist").asc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("q", "neighbor", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )

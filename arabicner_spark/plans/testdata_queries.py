@@ -1054,24 +1054,33 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM pairs"""
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    """LSH candidates verified with exact word-shingle Jaccard."""
+    """LSH candidates verified with exact word-shingle Jaccard.
+
+    r7 (guide section 4.2): shingles are produced by
+    hashing.shingle_hash_table — per-document distinct + md5 in one
+    Arrow pass (per-doc distinct == the old global (id, shingle)
+    distinct), identified downstream by the full 128-bit md5 as two
+    longs.  The minhash base is the identical first-8-hex-chars long,
+    so signatures/bands/candidates are byte-identical; the
+    intersection join compares two fixed-width longs instead of
+    variable-length shingle strings.  md5 identity for set membership
+    is the repo convention (exact dedup groups by md5(text) the same
+    way)."""
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "text"
     )
     # reused by signatures, both sides of the intersection join, and
     # sizes -> materialize once
-    sh = hashing.word_shingles(
-        d, ["id"], "text", n=3, width=pin_width(spark)
+    sh = hashing.shingle_hash_table(
+        d, "id", "text", n=3, width=pin_width(spark)
     ).localCheckpoint(eager=True)
-    sig = hashing.minhash_signatures(
-        sh, ["id"], n_hashes=16, width=pin_width(spark)
-    )
+    sig = hashing.minhash_signatures(sh, ["id"], n_hashes=16, base_col="h32")
     pairs = hashing.lsh_candidate_pairs(
         hashing.lsh_bands(sig, ["id"], bands=8, rows_per_band=2), "id"
     )
     inter = (
-        pairs.join(sh.withColumnRenamed("id", "a"), "a")
-        .join(sh.withColumnRenamed("id", "b"), ["b", "shingle"])
+        pairs.join(sh.select(F.col("id").alias("a"), "hi", "lo"), "a")
+        .join(sh.select(F.col("id").alias("b"), "hi", "lo"), ["b", "hi", "lo"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )

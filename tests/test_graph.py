@@ -349,3 +349,20 @@ def test_kcore_distributed_delta_branch_matches_local(spark, monkeypatch):
     }
     assert dist_rounds == local_rounds
     assert dist_bounded == local_bounded
+
+
+def test_lpa_local_simulation_matches_distributed(spark, monkeypatch):
+    """r7: label_propagation gained a vectorized local branch.  Force
+    the distributed loop and pin identical labels on a graph with
+    contested votes and ties (two cliques bridged by a path)."""
+    from arabicner_spark.operators import graph
+
+    c1 = [(a, b) for a in range(0, 4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(3, 7), (7, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src bigint, dst bigint")
+
+    local = {(r.node, r.label) for r in graph.label_propagation(edges, rounds=3).collect()}
+    monkeypatch.setattr(graph, "KCORE_LOCAL_EDGE_LIMIT", 0)
+    dist = {(r.node, r.label) for r in graph.label_propagation(edges, rounds=3).collect()}
+    assert local == dist
