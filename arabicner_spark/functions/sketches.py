@@ -157,7 +157,11 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 8) -> DataFrame:
 
         state = None  # pa.Table (val, est), <= k rows between batches
         for rb in batches:
-            vc = pc.value_counts(pc.drop_null(rb.column(0)))
+            # nulls are COUNTED as a value (the pre-Arrow rdd fold's
+            # semantics, and the exact gate's: groupBy keeps a null
+            # group) — a null-heavy column must not silently lose its
+            # summary entry (ADVICE r6)
+            vc = pc.value_counts(rb.column(0))
             tbl = pa.table(
                 {
                     "val": vc.field("values"),

@@ -258,6 +258,7 @@ def _greedy_safe_batch(
     dmat: dict,
     batch: int,
     min_count: int,
+    vocab: frozenset = frozenset(),
 ) -> Tuple[List[Tuple[str, str]], bool]:
     """Maximal PREFIX of the (count desc, pair asc) candidate order
     that provably reproduces the serial greedy sequence, and whether
@@ -284,7 +285,18 @@ def _greedy_safe_batch(
 
     Stops at the first violation — pairs ranked between accepted
     members must themselves be accepted, or the serial order beyond
-    them is unknown without a recount."""
+    them is unknown without a recount.
+
+    ``vocab``: the CURRENT symbol vocabulary (initial alphabet + every
+    concat merged so far).  If an accepted concat x+y equals an
+    already-existing symbol (or one created earlier in this batch),
+    the batch CLOSES right after that acceptance (ADVICE r6): a
+    pre-existing pair like (t, x+y) then GAINS the merge's created
+    occurrences on top of its round-start count — the t_cap bound only
+    covers brand-new pairs and the decrement bounds assume old pairs
+    never increase, so no later acceptance is provably serial-safe.
+    The colliding merge itself is safe (at its serial step the merge
+    has not applied yet, so nothing has gained)."""
     accepted: List[Tuple[str, str]] = []
     acc_strs: List[str] = []
     concats: set = set()
@@ -311,8 +323,13 @@ def _greedy_safe_batch(
                 clean = False
         accepted.append((x, y))
         acc_strs.append(pair)
-        concats.add(x + y)
         t_cap = max(t_cap, tmax.get(pair, 0))
+        if x + y in vocab or x + y in concats:
+            # concat collides with an existing (or batch-created)
+            # symbol: old pairs can now GAIN occurrences — close the
+            # batch after this provably-safe acceptance (ADVICE r6)
+            break
+        concats.add(x + y)
     return accepted, clean
 
 
@@ -401,6 +418,12 @@ def train_bpe_batched(
         "word", "freq", char_symbols(F.col("word")).alias("syms")
     ).localCheckpoint(eager=True)
     counts = symbol_pair_counts(syms).localCheckpoint(eager=True)
+    # symbol vocabulary for the concat-collision guard (ADVICE r6):
+    # initial alphabet (one collect, alphabet-sized) + every merged
+    # concat, maintained incrementally in the driver
+    vocab = {
+        r["s"] for r in syms.select(F.explode("syms").alias("s")).distinct().collect()
+    }
     merges: List[Tuple[str, str]] = []
     while len(merges) < n_merges:
         _r0 = _time.time()
@@ -415,10 +438,13 @@ def train_bpe_batched(
             tmax, dmat = {}, {}
         else:
             tmax, dmat = pair_interactions(syms, [p for p, _ in cands])
-        step, clean = _greedy_safe_batch(cands, tmax, dmat, room, min_count)
+        step, clean = _greedy_safe_batch(
+            cands, tmax, dmat, room, min_count, vocab=frozenset(vocab)
+        )
         if not step:
             break
         merges.extend(step)
+        vocab.update(x + y for x, y in step)
         if clean:
             col = apply_merges_batch(F.col("syms"), step)
         else:

@@ -173,10 +173,20 @@ def pagerank_personalized_exact(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sd = seeds.select("node").distinct().localCheckpoint(eager=True)
+    # seeds absent from the edge set would silently leak their share
+    # of teleport/initial mass (mass splits over the seed COUNT but
+    # only in-graph seeds receive it) — intersect first (ADVICE r6)
+    sd = (
+        seeds.select("node")
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     n_seeds = sd.count()
     if n_seeds < 1:
-        raise ValueError("personalized pagerank needs a non-empty seed set")
+        raise ValueError(
+            "personalized pagerank needs a non-empty seed set intersecting the graph"
+        )
     out_deg = e.groupBy("src").agg(F.count("*").alias("out"))
     base_s = (PR_SCALE * (100 - damping_pct)) // (100 * n_seeds)
     # fold the per-node teleport base into the (checkpointed) node

@@ -112,6 +112,19 @@ EMB_BROADCAST_MAX_BYTES = int(
 )
 
 
+def _reclaim(df: DataFrame, *paths: str) -> DataFrame:
+    """Materialize a (small) gate-query result, then delete the temp
+    dirs it was computed from — the q_snapshot_time_travel pattern
+    applied everywhere (VERDICT r6 #7: streaming/corpus/compaction
+    gate queries leaked a few dozen MB of /tmp per full gate run)."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
 def pin_width(spark: SparkSession) -> int:
     """Partition count for explicit width pins on compute-bound,
     bytes-small stages (shingle/minhash, pair-combinatorics — see
@@ -447,6 +460,7 @@ def q_stream_kg_triples(spark, sf_dir):
 
     src = tempfile.mkdtemp(prefix="arabicner_skg_src_")
     out = tempfile.mkdtemp(prefix="arabicner_skg_out_")
+    ckpt = tempfile.mkdtemp(prefix="arabicner_skg_ckpt_")
     transcripts(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(schemas.TRANSCRIPTS)
@@ -463,13 +477,15 @@ def q_stream_kg_triples(spark, sf_dir):
 
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="arabicner_skg_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     assert glob.glob(f"{out}/__epoch=*"), "no epochs written"
-    return spark.read.parquet(f"{out}/__epoch=*").select(*cols)
+    return _reclaim(
+        spark.read.parquet(f"{out}/__epoch=*").select(*cols), src, out, ckpt
+    )
 
 
 def q_kg_linked(spark, sf_dir):
@@ -2273,10 +2289,9 @@ def q_corpus_pipeline(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     cfg = CorpusConfig(sample_k=200, chunk=512, min_tokens=3, lsh_width=pin_width(spark))
-    out = run_corpus_pipeline(
-        spark, d, cfg, tempfile.mkdtemp(prefix="arabicner_corpus_"), run_id="gate"
-    )
-    return out["packed"]
+    root = tempfile.mkdtemp(prefix="arabicner_corpus_")
+    out = run_corpus_pipeline(spark, d, cfg, root, run_id="gate")
+    return _reclaim(out["packed"], root)
 
 
 def _sql_corpus_pipeline() -> str:
@@ -2373,7 +2388,7 @@ def q_compact_roundtrip(spark, sf_dir):
     ev.repartition(64).write.mode("overwrite").parquet(frag)  # the small-file mess
     small = spark.read.parquet(frag)
     compact_by_range(small, out, ["user_id", "ts_us"], n_files=4)
-    return spark.read.parquet(out)
+    return _reclaim(spark.read.parquet(out), frag, out)
 
 
 SQL_COMPACT_ROUNDTRIP = """
@@ -2826,15 +2841,19 @@ def q_conll_roundtrip(spark, sf_dir):
         for w in r.text.split(" "):
             lines.append(f"{w} O MISC" if len(w) % 2 == 0 else f"{w} O")
         lines.append("")
-    path = os.path.join(tempfile.mkdtemp(prefix="arabicner_conll_rt_"), "docs.conll")
+    tmpd = tempfile.mkdtemp(prefix="arabicner_conll_rt_")
+    path = os.path.join(tmpd, "docs.conll")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     df = read_conll(spark, path)
-    return df.select(
-        F.col("seg_id").cast("bigint").alias("seg_id"),
-        "pos",
-        "token",
-        F.array_join("tags", "|").alias("tags"),
+    return _reclaim(
+        df.select(
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            "pos",
+            "token",
+            F.array_join("tags", "|").alias("tags"),
+        ),
+        tmpd,
     )
 
 
@@ -2882,18 +2901,22 @@ def q_tsv_process(spark, sf_dir):
         lines.append(f"0\t{r.doc_id}\tx\tbad token\tO")  # multi-word -> drop
         lines.append(f"0\t{r.doc_id}\tx\tjunk\tBAD")  # label w/o '-' -> drop
         lines.append(f"0\t{r.doc_id}\tx\t\tO")  # empty token -> drop
-    path = os.path.join(tempfile.mkdtemp(prefix="arabicner_tsv_"), "export.tsv")
+    tmpd = tempfile.mkdtemp(prefix="arabicner_tsv_")
+    path = os.path.join(tmpd, "export.tsv")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     seg = to_segments(clean_rows(read_wojood_tsv(spark, path)))
-    return seg.select(
-        F.col("seg_id").cast("bigint").alias("seg_id"),
-        F.posexplode("tokens").alias("pos", "t"),
-    ).select(
-        "seg_id",
-        "pos",
-        F.col("t.token").alias("token"),
-        F.array_join("t.labels", "|").alias("labels"),
+    return _reclaim(
+        seg.select(
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            F.posexplode("tokens").alias("pos", "t"),
+        ).select(
+            "seg_id",
+            "pos",
+            F.col("t.token").alias("token"),
+            F.array_join("t.labels", "|").alias("labels"),
+        ),
+        tmpd,
     )
 
 
@@ -3382,6 +3405,7 @@ def q_stream_conv_totals(spark, sf_dir):
     from arabicner_spark.streaming import ingest
 
     src = tempfile.mkdtemp(prefix="arabicner_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="arabicner_stream_ckpt_")
     transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
     stream = ingest.stream_transcripts(spark, src)
     totals = ingest.streaming_conv_totals(
@@ -3392,15 +3416,17 @@ def q_stream_conv_totals(spark, sf_dir):
         totals.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return (
+    return _reclaim(
         spark.table(qname)
         .groupBy("conv_id")
-        .agg(F.max("total_mentions").alias("total_mentions"))
+        .agg(F.max("total_mentions").alias("total_mentions")),
+        src,
+        ckpt,
     )
 
 
@@ -3427,6 +3453,7 @@ def q_stream_mention_rate(spark, sf_dir):
     from arabicner_spark.streaming import ingest
 
     src = tempfile.mkdtemp(prefix="arabicner_stream_rate_src_")
+    ckpt = tempfile.mkdtemp(prefix="arabicner_stream_rate_ckpt_")
     transcripts(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
     rate = ingest.mention_rate(
         ingest.streaming_mentions(ingest.stream_transcripts(spark, src), gazetteer_dict_td())
@@ -3436,15 +3463,17 @@ def q_stream_mention_rate(spark, sf_dir):
         rate.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_rate_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return (
+    return _reclaim(
         spark.table(qname)
         .groupBy(F.unix_timestamp("window_start").alias("window_epoch"), "type")
-        .agg(F.max("n_mentions").cast("bigint").alias("n_mentions"))
+        .agg(F.max("n_mentions").cast("bigint").alias("n_mentions")),
+        src,
+        ckpt,
     )
 
 
@@ -4241,6 +4270,7 @@ def q_stream_sessions(spark, sf_dir):
     from arabicner_spark.streaming import ingest
 
     src = tempfile.mkdtemp(prefix="arabicner_stream_sess_src_")
+    _sess_ckpt = tempfile.mkdtemp(prefix="arabicner_stream_sess_ckpt_")
     (
         load(spark, sf_dir, "events")
         .select(
@@ -4262,19 +4292,21 @@ def q_stream_sessions(spark, sf_dir):
         sessions.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")  # session windows forbid update mode
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_sess_ckpt_")
-        )
+        .option("checkpointLocation", _sess_ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname).select(
-        "user_id",
-        F.unix_micros("session_start").alias("start_us"),
-        F.unix_micros("session_end").alias("end_us"),
-        "n_events",
-        "sum_cents",
+    return _reclaim(
+        spark.table(qname).select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+            "sum_cents",
+        ),
+        src,
+        _sess_ckpt,
     )
 
 
@@ -4358,6 +4390,7 @@ def q_stream_join_enrich(spark, sf_dir):
     from arabicner_spark.streaming import ingest
 
     src = tempfile.mkdtemp(prefix="arabicner_stream_join_src_")
+    _join_ckpt = tempfile.mkdtemp(prefix="arabicner_stream_join_ckpt_")
     transcripts(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
     mentions = ingest.streaming_mentions(
         ingest.stream_transcripts(spark, src), gazetteer_dict_td()
@@ -4369,15 +4402,17 @@ def q_stream_join_enrich(spark, sf_dir):
         joined.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="arabicner_stream_join_ckpt_")
-        )
+        .option("checkpointLocation", _join_ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname).select(
-        "conv_id", "turn_idx", "role", "level", "type", "start_tok", "end_tok", "text"
+    return _reclaim(
+        spark.table(qname).select(
+            "conv_id", "turn_idx", "role", "level", "type", "start_tok", "end_tok", "text"
+        ),
+        src,
+        _join_ckpt,
     )
 
 
@@ -4402,6 +4437,7 @@ def q_stream_dedup(spark, sf_dir):
     from arabicner_spark.streaming import ingest
 
     src = tempfile.mkdtemp(prefix="arabicner_stream_dedup_src_")
+    _dedup_ckpt = tempfile.mkdtemp(prefix="arabicner_stream_dedup_ckpt_")
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.col("ts").cast("timestamp").alias("ts"),
@@ -4419,16 +4455,17 @@ def q_stream_dedup(spark, sf_dir):
         deduped.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="arabicner_stream_dedup_ckpt_"),
-        )
+        .option("checkpointLocation", _dedup_ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname).select(
-        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "cents"
+    return _reclaim(
+        spark.table(qname).select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "cents"
+        ),
+        src,
+        _dedup_ckpt,
     )
 
 
@@ -4457,6 +4494,7 @@ def q_stream_idempotent_sink(spark, sf_dir):
 
     src = tempfile.mkdtemp(prefix="arabicner_sink_src_")
     out = tempfile.mkdtemp(prefix="arabicner_sink_out_")
+    _sink_ckpt = tempfile.mkdtemp(prefix="arabicner_sink_ckpt_")
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -4476,9 +4514,7 @@ def q_stream_idempotent_sink(spark, sf_dir):
     )
     q = (
         stream.writeStream.foreachBatch(sink)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="arabicner_sink_ckpt_")
-        )
+        .option("checkpointLocation", _sink_ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -4491,7 +4527,7 @@ def q_stream_idempotent_sink(spark, sf_dir):
     # path would otherwise race itself)
     replay_df = spark.read.parquet(epochs[0]).localCheckpoint(eager=True)
     sink(replay_df, int(epochs[0].rsplit("=", 1)[1]))
-    return spark.read.parquet(f"{out}/__epoch=*")
+    return _reclaim(spark.read.parquet(f"{out}/__epoch=*"), src, out, _sink_ckpt)
 
 
 SQL_STREAM_IDEMPOTENT_SINK = """

@@ -156,9 +156,13 @@ class TableIO:
             # Pin the committed snapshot under an immutable named ref
             # (tag) — positional ordinals over .snapshots silently shift
             # when compaction/expiry rewrites history, tags never do.
+            # The snapshot id comes from the MAIN BRANCH REF, not from
+            # ORDER BY committed_at: committed_at has millisecond
+            # granularity, so two back-to-back commits in the same
+            # millisecond would make wall-clock ordering nondeterministic
+            # and could tag the wrong snapshot (ADVICE r6).
             row = self.spark.sql(
-                f"SELECT snapshot_id FROM {tbl}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+                f"SELECT snapshot_id FROM {tbl}.refs WHERE name = 'main'"
             ).first()
             n = (max(self.snapshot_versions(name), default=0)) + 1
             self.spark.sql(

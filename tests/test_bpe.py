@@ -213,3 +213,43 @@ def test_batched_property_wide_alphabet(spark):
         want, _ = _python_bpe(rows, n_merges=10)
         got, _df = bpe.train_bpe_batched(words, n_merges=10, batch=2)
         assert got == want, (trial, got, want)
+
+
+def test_greedy_safe_batch_closes_on_vocab_concat_collision():
+    """r7 (ADVICE r6): an accepted concat that equals an EXISTING
+    symbol closes the batch right after that acceptance — a
+    pre-existing pair (t, concat) gains the merge's created
+    occurrences, so no later candidate is provably serial-safe."""
+    from arabicner_spark.operators import bpe
+
+    cands = [("ab c", 50), ("d e", 40), ("f g", 30)]
+    tmax = {p: 0 for p, _ in cands}
+    dmat = {}
+    # without a colliding vocab all three are accepted
+    step, _ = bpe._greedy_safe_batch(cands, tmax, dmat, 8, 2)
+    assert step == [("ab", "c"), ("d", "e"), ("f", "g")]
+    # 'abc' already exists as a symbol -> accept (ab, c), then close
+    step, _ = bpe._greedy_safe_batch(
+        cands, tmax, dmat, 8, 2, vocab=frozenset({"abc"})
+    )
+    assert step == [("ab", "c")]
+
+
+def test_batched_equals_serial_under_concat_collision(spark):
+    """End-to-end: a corpus where a later round's merge (ab, c)
+    recreates the symbol 'abc' that an earlier round built via
+    (a, bc) — the batched sequence must still equal the serial one."""
+    from arabicner_spark.operators import bpe
+
+    rows = []
+    # drive early merges: 'b c' -> 'bc', then 'a bc' -> 'abc'
+    rows += [(i, "abc abc abc") for i in range(30)]
+    # then make 'a b' and 'ab'+'c' attractive in later rounds, with a
+    # pre-existing neighbor pair (t, abc) that gains from the collision
+    rows += [(100 + i, "ab cx t abc t abc") for i in range(12)]
+    rows += [(200 + i, "abq cq") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    words = bpe.word_freqs(docs)
+    want, _ = bpe.train_bpe(words, n_merges=8)
+    got, _ = bpe.train_bpe_batched(words, n_merges=8, batch=8)
+    assert got == want

@@ -104,6 +104,12 @@ def _snapshot_mock_spark(existing_tags, latest_snapshot_id=991122):
             row = MagicMock()
             row.snapshot_id = latest_snapshot_id
             res.first.return_value = row
+        elif ".refs" in q and "name = 'main'" in q:
+            # r7 (ADVICE r6): the committed snapshot is resolved from
+            # the main branch ref, not wall-clock snapshot ordering
+            row = MagicMock()
+            row.snapshot_id = latest_snapshot_id
+            res.first.return_value = row
         elif ".refs" in q:
             rows = []
             for t in existing_tags:
