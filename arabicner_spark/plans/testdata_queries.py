@@ -5563,137 +5563,150 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 # (COVERAGE.md "Driver-gate rotation ledger"): never-driver-green +
 # new + changed-this-round queries sit in positions 1-50; veterans
 # with multiple prior driver greens rotate to the alphabetical tail.
-# r6 window: the 10 NEW queries (graph_kcore_fixpoint, dedup_substring,
-# dedup_substring_apply, ann_pq, layout_zorder, rel_bloom_prejoin,
-# kg_fact_fusion, kg_negative_samples, kg_pagerank_personalized,
-# kg_temporal_reach — registry now 111), the 7 CHANGED-in-r6
-# queries (ann_ivf rotated back IN from the tail: it now searches the
-# kmeans-refined index; ann_recall, ann_kmeans_refine, bpe_pair_counts
-# incremental-counts batching, graph_kcore rounds validation,
-# snapshot_time_travel facade hardening, sketch_heavy_hitters
-# sketches.py vectorization), the 13 r5-rotated-out veterans cycling
-# back per the ledger rule (kg_edges .. sketch_kmv_distinct), the 9
-# single-driver-green r5 entrants staying seated, and 17 keepers whose
-# implementation files are graph.py/io.py/sketches.py-adjacent or
-# r4-entrant.  Rotated OUT to the tail: 17 two-green (r4+r5) veterans
-# (eval_nested_report, stream_conv_totals, stream_mention_rate,
-# rel_session_window, stream_sessions, funnel, cohort_retention,
-# stats_outliers, cdc_apply, json_props, rel_pivot, rel_unpivot,
-# rel_rank_funcs, link_fuzzy, text_tfidf, rel_moving_avg, rel_scd2),
-# all untouched in r6, plus sample_weighted, graph_jaccard, graph_bfs
-# (r4+r5 greens; only the kcore functions changed in graph.py),
-# text_urls, kg_conv_profile, stream_join_enrich and stream_dedup
-# (r4+r5 greens, untouched) to make room for ann_pq, layout_zorder,
-# rel_bloom_prejoin, kg_fact_fusion, kg_negative_samples,
-# kg_pagerank_personalized and kg_temporal_reach.
+# r7 window (optimization round — no new queries; "changed" = the
+# query's own body or a function on its execution path was edited):
+#   * 32 CHANGED-in-r7 queries: the Arrow/bucket-verified
+#     dedup_embedding; the distinct-fused minhash family
+#     (dedup_minhash_lsh, dedup_jaccard, kg_components,
+#     dedup_survivors, dedup_incremental, text_fingerprint, link_fuzzy
+#     — hashing.py + incremental.py); width-pinned dedup_substring(+
+#     apply); the delta/local-peel graph family (graph_kcore,
+#     graph_kcore_fixpoint, kg_label_prop) + seed-intersected
+#     kg_pagerank_personalized + prefix-checkpointed kg_temporal_reach;
+#     checkpoint-fixed kg_negative_samples (+ kg_fact_fusion,
+#     fusion.py); Arrow-pass ann_pq; collision-guarded bpe_pair_counts;
+#     main-ref-tagged snapshot_time_travel (io.py); null-counting
+#     sketch_heavy_hitters; and the tempdir-reclaimed gate queries
+#     (stream_kg_triples, stream_conv_totals, stream_mention_rate,
+#     stream_sessions, stream_join_enrich, stream_dedup,
+#     stream_idempotent_sink, corpus_pipeline, compact_roundtrip,
+#     conll_roundtrip, tsv_process).
+#   * the 13 remaining r6-rotated-out two-green veterans cycling back
+#     per the ledger rule (eval_nested_report, rel_session_window,
+#     funnel, cohort_retention, stats_outliers, cdc_apply, json_props,
+#     rel_pivot, rel_unpivot, rel_rank_funcs, text_tfidf,
+#     rel_moving_avg, rel_scd2 — the other four of the 17,
+#     stream_conv_totals/stream_mention_rate/stream_sessions/
+#     link_fuzzy, re-enter as changed-in-r7 above).
+#   * layout_zorder + rel_bloom_prejoin (single-driver-green r6
+#     entrants staying seated) and the sketches.py-adjacent
+#     sketch_kmv_distinct / sketch_kmv_by_flag / sketch_hist_quantile.
+# Rotated OUT to the tail (all multi-green, functions untouched in
+# r7): kg_edges, kg_mentions_bio, kg_triples, kg_linked, kg_nodes,
+# kg_pagerank, graph_triangles (graph.py's pagerank_exact /
+# triangle_count functions unchanged — the r6 graph_bfs/graph_jaccard
+# precedent), text_pii_scrub, rel_asof_click, dedup_exact,
+# pack_sequences, split_three_way, sample_mixture,
+# text_arabic_normalize, rel_gap_fill, text_subword_counts, mm_resize,
+# text_repetition, ann_ivf, ann_recall, ann_kmeans_refine.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
-    "ann_kmeans_refine": (q_ann_kmeans, SQL_ANN_KMEANS),
-    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
-    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
-    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
-    "graph_kcore_fixpoint": (q_graph_kcore_fixpoint, SQL_GRAPH_KCORE_FIXPOINT),
-    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
-    "dedup_substring_apply": (q_dedup_substring_apply, SQL_DEDUP_SUBSTRING_APPLY),
-    "snapshot_time_travel": (q_snapshot_time_travel, SQL_SNAPSHOT_TIME_TRAVEL),
-    "sketch_heavy_hitters": (q_sketch_heavy_hitters, SQL_SKETCH_HEAVY_HITTERS),
-    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
-    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
-    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
-    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
-    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
-    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "kg_components": (q_kg_components, SQL_KG_COMPONENTS),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
-    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
-    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
-    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
-    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
-    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_SURVIVORS),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
-    "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_apply": (q_dedup_substring_apply, SQL_DEDUP_SUBSTRING_APPLY),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "graph_kcore_fixpoint": (q_graph_kcore_fixpoint, SQL_GRAPH_KCORE_FIXPOINT),
     "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
-    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
-    "text_arabic_normalize": (q_text_arabic_normalize, SQL_TEXT_ARABIC_NORMALIZE),
-    "rel_gap_fill": (q_rel_gap_fill, SQL_REL_GAP_FILL),
-    "sketch_kmv_by_flag": (q_sketch_kmv_by_flag, SQL_SKETCH_KMV_BY_FLAG),
-    "sketch_hist_quantile": (q_sketch_hist_quantile, SQL_SKETCH_HIST_QUANTILE),
-    "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
-    "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
-    "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
     "kg_pagerank_personalized": (q_kg_pagerank_personalized, SQL_KG_PAGERANK_PERSONALIZED),
     "kg_temporal_reach": (q_kg_temporal_reach, SQL_KG_TEMPORAL_REACH),
-    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
-    "kg_fact_fusion": (q_kg_fact_fusion, SQL_KG_FACT_FUSION),
     "kg_negative_samples": (q_kg_negative_samples, SQL_KG_NEGATIVE_SAMPLES),
-    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "snapshot_time_travel": (q_snapshot_time_travel, SQL_SNAPSHOT_TIME_TRAVEL),
+    "sketch_heavy_hitters": (q_sketch_heavy_hitters, SQL_SKETCH_HEAVY_HITTERS),
+    "stream_kg_triples": (q_stream_kg_triples, SQL_KG_TRIPLES),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
+    "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
+    "conll_roundtrip": (q_conll_roundtrip, SQL_CONLL_ROUNDTRIP),
+    "tsv_process": (q_tsv_process, SQL_TSV_PROCESS),
+    "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
+    "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
+    "link_fuzzy": (q_link_fuzzy, SQL_LINK_FUZZY),
+    "kg_fact_fusion": (q_kg_fact_fusion, SQL_KG_FACT_FUSION),
+    "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
+    "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
+    "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
+    "rel_rank_funcs": (q_rel_rank_funcs, SQL_REL_RANK_FUNCS),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "rel_moving_avg": (q_rel_moving_avg, SQL_REL_MOVING_AVG),
+    "rel_scd2": (q_rel_scd2, SQL_REL_SCD2),
     "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
     "rel_bloom_prejoin": (q_rel_bloom_prejoin, SQL_REL_BLOOM_PREJOIN),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
+    "sketch_kmv_by_flag": (q_sketch_kmv_by_flag, SQL_SKETCH_KMV_BY_FLAG),
+    "sketch_hist_quantile": (q_sketch_hist_quantile, SQL_SKETCH_HIST_QUANTILE),
     # ---- alphabetical tail: settled veterans (driver greens on file) ----
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_kmeans_refine": (q_ann_kmeans, SQL_ANN_KMEANS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
-    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
-    "funnel": (q_funnel, SQL_FUNNEL),
     "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
     "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
+    "kg_edges": (q_kg_edges, SQL_KG_EDGES),
+    "kg_linked": (q_kg_linked, SQL_KG_LINKED),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_mentions_bio": (q_kg_mentions_bio, SQL_KG_MENTIONS_BIO),
     "kg_mentions_flat": (q_kg_mentions_flat, SQL_KG_MENTIONS_FLAT),
     "kg_nested_mentions": (q_kg_nested_mentions, SQL_KG_NESTED),
+    "kg_nodes": (q_kg_nodes, SQL_KG_NODES),
+    "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "kg_temporal_edges": (q_kg_temporal_edges, SQL_KG_TEMPORAL),
     "kg_top_surfaces": (q_kg_top_surfaces, SQL_KG_TOP_SURFACES),
     "kg_transcripts": (q_kg_transcripts, SQL_KG_TRANSCRIPTS),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_turn_stats": (q_kg_turn_stats, SQL_KG_TURN_STATS),
-    "link_fuzzy": (q_link_fuzzy, SQL_LINK_FUZZY),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_meta": (q_mm_meta, SQL_MM_META),
+    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "rel_asof_click": (q_rel_asof_click, SQL_REL_ASOF_CLICK),
     "rel_cube": (q_rel_cube, SQL_REL_CUBE),
     "rel_customers_no_orders": (q_rel_customers_no_orders, SQL_REL_NO_ORDERS),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+    "rel_gap_fill": (q_rel_gap_fill, SQL_REL_GAP_FILL),
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
     "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
     "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
-    "rel_moving_avg": (q_rel_moving_avg, SQL_REL_MOVING_AVG),
-    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
-    "rel_rank_funcs": (q_rel_rank_funcs, SQL_REL_RANK_FUNCS),
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
-    "rel_scd2": (q_rel_scd2, SQL_REL_SCD2),
-    "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
-    "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
-    "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
-    "stream_conv_totals": (q_stream_conv_totals, SQL_STREAM_CONV_TOTALS),
-    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
-    "stream_join_enrich": (q_stream_join_enrich, SQL_STREAM_JOIN_ENRICH),
-    "stream_mention_rate": (q_stream_mention_rate, SQL_STREAM_MENTION_RATE),
-    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
+    "text_arabic_normalize": (q_text_arabic_normalize, SQL_TEXT_ARABIC_NORMALIZE),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
     "text_urls": (q_text_urls, SQL_TEXT_URLS),

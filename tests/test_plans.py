@@ -192,12 +192,20 @@ def test_r6_new_queries_plan_shapes(spark, sf_dir):
     same documented pattern as the sketch family's one-row bounds."""
     from arabicner_spark.plans.testdata_queries import QUERIES
 
-    for name in ("ann_pq", "rel_bloom_prejoin"):
-        p = plan_of(QUERIES[name][0](spark, sf_dir))
-        assert "CartesianProduct" not in p, name
-        assert "BroadcastNestedLoopJoin" not in p, name
-        assert "SortMergeJoin" not in p, name
-        assert "BroadcastHashJoin" in p, name
+    p = plan_of(QUERIES["rel_bloom_prejoin"][0](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+    # r7: ann_pq's search is a MapInArrow pass over the vector table
+    # (codes + ADC per batch against a broadcast codebook) + one per-q
+    # WindowGroupLimit — no join of ANY kind touches the candidates
+    p = plan_of(QUERIES["ann_pq"][0](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "MapInArrow" in p
+    assert "WindowGroupLimit" in p
 
     p = plan_of(QUERIES["layout_zorder"][0](spark, sf_dir))
     assert "Join" not in p
