@@ -1132,7 +1132,12 @@ WHERE round(inter.i / (sa.sz + sb.sz - inter.i), 4) >= 0.5"""
 
 
 def q_dedup_simhash(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # width pin (r7): token explode + 32 md5-nibble bit sums otherwise
+    # run at the scan's 1-2 splits; groupBy(doc_id) reuses the doc_id
+    # partitioning
+    d = load(spark, sf_dir, "documents").repartition(
+        pin_width(spark), F.col("doc_id")
+    )
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     return hashing.simhash32(tok, ["doc_id"], "w")
 
@@ -1830,7 +1835,13 @@ def q_text_repetition(spark, sf_dir):
     of the most-repeated chunk — the signals a corpus keep/drop rule
     thresholds on.  One explode + two partial-aggregable shuffles; the
     chunking itself is pure array expressions (no Python)."""
-    d = load(spark, sf_dir, "documents")
+    # width pin (r7, guide sections 2.5/6): the chunk explode + hash
+    # partial-agg otherwise runs at the 1-2-split scan width; the
+    # groupBy(doc_id, chunk) reuses the doc_id hash partitioning, so
+    # no extra exchange appears
+    d = load(spark, sf_dir, "documents").repartition(
+        pin_width(spark), F.col("doc_id")
+    )
     arr = F.split("text", " ")
     n_chunks = F.floor(F.size(arr) / REP_CHUNK).cast("int")
     # Guard the empty case: sequence(1, 0) is DESCENDING in Spark
@@ -1886,7 +1897,11 @@ def q_text_urls(spark, sf_dir):
     normalize — lowercase scheme+host, strip the query string — and
     count per normalized URL.  The Spark and SQL sides share the
     injection, extraction, and normalization expressions exactly."""
-    d = load(spark, sf_dir, "documents")
+    # width pin (r7): the URL regex scan over full document text
+    # otherwise runs at the 1-2-split scan width
+    d = load(spark, sf_dir, "documents").repartition(
+        pin_width(spark), F.col("doc_id")
+    )
     aug = d.withColumn(
         "aug_text",
         F.concat(
@@ -3654,11 +3669,21 @@ cound AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
 
 def _coactivity_edges(spark, sf_dir):
     e = load(spark, sf_dir, "events")
-    b = e.select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("minute"),
-    ).distinct()
+    # r7 (guide sections 2.5/6): the events parquet is a few MB = 1-2
+    # scan splits, so the distinct's PARTIAL aggregation (1M rows, and
+    # events barely deduplicate so it is pure per-row overhead) ran on
+    # 1-2 cores.  Repartitioning on the distinct keys first spreads
+    # that work; the groupBy reuses the same hash partitioning, so no
+    # second exchange appears.
+    b = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("minute"),
+        )
+        .repartition(pin_width(spark), "user_id", "event_type", "minute")
+        .distinct()
+    )
     x = b.select(F.col("user_id").alias("ua"), "event_type", "minute")
     y = b.select(F.col("user_id").alias("ub"), "event_type", "minute")
     return (
