@@ -5605,25 +5605,31 @@ FROM c, t WHERE c.cnt * 20 > t.n"""
 #     (stream_kg_triples, stream_conv_totals, stream_mention_rate,
 #     stream_sessions, stream_join_enrich, stream_dedup,
 #     stream_idempotent_sink, corpus_pipeline, compact_roundtrip,
-#     conll_roundtrip, tsv_process).
-#   * the 13 remaining r6-rotated-out two-green veterans cycling back
-#     per the ledger rule (eval_nested_report, rel_session_window,
-#     funnel, cohort_retention, stats_outliers, cdc_apply, json_props,
-#     rel_pivot, rel_unpivot, rel_rank_funcs, text_tfidf,
-#     rel_moving_avg, rel_scd2 — the other four of the 17,
-#     stream_conv_totals/stream_mention_rate/stream_sessions/
-#     link_fuzzy, re-enter as changed-in-r7 above).
+#     conll_roundtrip, tsv_process) — 32 — PLUS the 6 late-r7 width
+#     pins and their consumers: text_repetition, dedup_simhash,
+#     text_urls (scan-width pins in their bodies) and graph_triangles,
+#     graph_bfs, graph_jaccard (the shared _coactivity_edges build
+#     gained a width pin) — 38 changed total.
 #   * layout_zorder + rel_bloom_prejoin (single-driver-green r6
-#     entrants staying seated) and the sketches.py-adjacent
-#     sketch_kmv_distinct / sketch_kmv_by_flag / sketch_hist_quantile.
+#     entrants staying seated).
+#   * 10 of the 13 remaining r6-rotated-out two-green veterans
+#     cycling back per the ledger rule (eval_nested_report,
+#     rel_session_window, funnel, cohort_retention, stats_outliers,
+#     cdc_apply, json_props, text_tfidf, rel_moving_avg, rel_scd2);
+#     rel_pivot, rel_unpivot, rel_rank_funcs (also two-green,
+#     untouched) DEFER one round — the 38 changed queries fill the
+#     window first.  The other four of the r6 seventeen
+#     (stream_conv_totals, stream_mention_rate, stream_sessions,
+#     link_fuzzy) re-enter as changed-in-r7 above.
 # Rotated OUT to the tail (all multi-green, functions untouched in
 # r7): kg_edges, kg_mentions_bio, kg_triples, kg_linked, kg_nodes,
-# kg_pagerank, graph_triangles (graph.py's pagerank_exact /
-# triangle_count functions unchanged — the r6 graph_bfs/graph_jaccard
-# precedent), text_pii_scrub, rel_asof_click, dedup_exact,
-# pack_sequences, split_three_way, sample_mixture,
+# kg_pagerank (graph.py's pagerank_exact unchanged — the r6
+# function-granularity precedent), text_pii_scrub, rel_asof_click,
+# dedup_exact, pack_sequences, split_three_way, sample_mixture,
 # text_arabic_normalize, rel_gap_fill, text_subword_counts, mm_resize,
-# text_repetition, ann_ivf, ann_recall, ann_kmeans_refine.
+# sketch_kmv_distinct, sketch_kmv_by_flag, sketch_hist_quantile
+# (kmv/histogram functions untouched; heavy_hitters_mg's own query IS
+# seated), ann_ivf, ann_recall, ann_kmeans_refine.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
@@ -5657,6 +5663,14 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_idempotent_sink": (q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT_SINK),
     "link_fuzzy": (q_link_fuzzy, SQL_LINK_FUZZY),
     "kg_fact_fusion": (q_kg_fact_fusion, SQL_KG_FACT_FUSION),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "text_urls": (q_text_urls, SQL_TEXT_URLS),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
+    "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
+    "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
+    "rel_bloom_prejoin": (q_rel_bloom_prejoin, SQL_REL_BLOOM_PREJOIN),
     "eval_nested_report": (q_eval_nested_report, SQL_EVAL_NESTED_REPORT),
     "rel_session_window": (q_rel_session_window, SQL_REL_SESSION_WINDOW),
     "funnel": (q_funnel, SQL_FUNNEL),
@@ -5664,17 +5678,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stats_outliers": (q_stats_outliers, SQL_STATS_OUTLIERS),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "json_props": (q_json_props, SQL_JSON_PROPS),
-    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
-    "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
-    "rel_rank_funcs": (q_rel_rank_funcs, SQL_REL_RANK_FUNCS),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "rel_moving_avg": (q_rel_moving_avg, SQL_REL_MOVING_AVG),
     "rel_scd2": (q_rel_scd2, SQL_REL_SCD2),
-    "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
-    "rel_bloom_prejoin": (q_rel_bloom_prejoin, SQL_REL_BLOOM_PREJOIN),
-    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
-    "sketch_kmv_by_flag": (q_sketch_kmv_by_flag, SQL_SKETCH_KMV_BY_FLAG),
-    "sketch_hist_quantile": (q_sketch_hist_quantile, SQL_SKETCH_HIST_QUANTILE),
     # ---- alphabetical tail: settled veterans (driver greens on file) ----
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_kmeans_refine": (q_ann_kmeans, SQL_ANN_KMEANS),
@@ -5684,12 +5690,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "corpus_keep_decision": (q_corpus_keep_decision, SQL_CORPUS_KEEP),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "eval_per_type_prf": (q_eval_per_type_prf, SQL_EVAL_PER_TYPE_PRF),
     "eval_predictions_lines": (q_eval_predictions_lines, SQL_EVAL_PREDICTIONS),
-    "graph_bfs": (q_graph_bfs, SQL_GRAPH_BFS),
-    "graph_jaccard": (q_graph_jaccard, SQL_GRAPH_JACCARD),
-    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "kg_conv_profile": (q_kg_conv_profile, SQL_KG_CONV_PROFILE),
     "kg_degrees": (q_kg_degrees, SQL_KG_DEGREES),
     "kg_edges": (q_kg_edges, SQL_KG_EDGES),
@@ -5717,24 +5719,28 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rel_hourly_events": (q_rel_hourly_events, SQL_REL_HOURLY),
     "rel_hypertable_daily": (q_rel_hypertable_daily, SQL_REL_HYPERTABLE_DAILY),
     "rel_lineitem_agg": (q_rel_lineitem_agg, SQL_REL_LINEITEM_AGG),
+    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_range_windows": (q_rel_range_windows, SQL_REL_RANGE_WINDOWS),
+    "rel_rank_funcs": (q_rel_rank_funcs, SQL_REL_RANK_FUNCS),
     "rel_region_rollup": (q_rel_region_rollup, SQL_REL_REGION_ROLLUP),
     "rel_top_customers": (q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
+    "rel_unpivot": (q_rel_unpivot, SQL_REL_UNPIVOT),
     "rel_value_quantiles": (q_rel_value_quantiles, SQL_REL_QUANTILES),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "sketch_hist_quantile": (q_sketch_hist_quantile, SQL_SKETCH_HIST_QUANTILE),
+    "sketch_kmv_by_flag": (q_sketch_kmv_by_flag, SQL_SKETCH_KMV_BY_FLAG),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, SQL_SKETCH_KMV),
     "split_three_way": (q_split_three_way, SQL_SPLIT_THREE_WAY),
     "text_arabic_normalize": (q_text_arabic_normalize, SQL_TEXT_ARABIC_NORMALIZE),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_subword_counts": (q_text_subword_counts, SQL_TEXT_SUBWORD_COUNTS),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_top_tokens": (q_text_top_tokens, SQL_TEXT_TOP_TOKENS),
-    "text_urls": (q_text_urls, SQL_TEXT_URLS),
     "vocab_tag_levels": (q_vocab_tag_levels, SQL_VOCAB_TAG_LEVELS),
     "vocab_tokens": (q_vocab_tokens, SQL_VOCAB_TOKENS),
 }
