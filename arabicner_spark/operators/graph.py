@@ -167,6 +167,42 @@ def pagerank_personalized_exact(
     map-side-combinable sum + localCheckpoint."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
+    # r7: adaptive local branch (the kcore/LPA pattern).  The whole
+    # loop is FIXED-POINT INTEGER algebra — div/floor over BIGINTs,
+    # order-independent sums — so a vectorized in-memory simulation of
+    # the same ``iterations`` rounds returns the bit-identical rank
+    # table without 5x (two joins + agg + localCheckpoint) scheduler
+    # rounds; on the dimension-sized KG (13 entities) the round
+    # latency IS the wall.  Node ids are only ever KEYS here (rank_i
+    # carries the numbers), so string ids — the KG's entity ids —
+    # take the local branch too (object arrays, the kcore-local
+    # fallback convention); mixed-kind src/dst/seed columns or a
+    # graph past the collect limit take the distributed loop.
+    if e.count() <= KCORE_LOCAL_EDGE_LIMIT:
+        tbl = e.toArrow()
+        sd_tbl = seeds.select("node").distinct().toArrow()
+        try:
+            s_arr = _np_col(tbl.column("src"))
+            d_arr = _np_col(tbl.column("dst"))
+            seed_arr = _np_col(sd_tbl.column("node"))
+        except Exception:
+            s_arr = d_arr = seed_arr = None
+        if (
+            s_arr is not None
+            and s_arr.dtype.kind in "iuOU"
+            and d_arr.dtype.kind == s_arr.dtype.kind
+            and (seed_arr.dtype.kind == s_arr.dtype.kind or seed_arr.size == 0)
+        ):
+            rows = _ppr_local_sim(s_arr, d_arr, seed_arr, iterations, damping_pct)
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            node_type = edges.schema[src].dataType
+            schema = StructType(
+                [StructField("node", node_type), StructField("rank_i", LongType())]
+            )
+            return edges.sparkSession.createDataFrame(rows, schema).select(
+                "node", F.col("rank_i").cast("long").alias("rank_i")
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -229,6 +265,59 @@ def pagerank_personalized_exact(
     return ranks
 
 
+def _np_col(col):
+    """Arrow column -> numpy array; non-numeric columns land as object
+    arrays (the kcore-local fallback convention) so string node ids
+    can be np.unique-factorized like integer ones."""
+    import numpy as np
+
+    try:
+        return col.to_numpy(zero_copy_only=False)
+    except Exception:
+        return np.asarray(col.to_pylist(), dtype=object)
+
+
+def _ppr_local_sim(s_arr, d_arr, seed_arr, iterations: int, damping_pct: int) -> list:
+    """In-memory replay of pagerank_personalized_exact's fixed-point
+    loop over a collected DISTINCT edge list: same integer init/base
+    per seed, same per-edge ``rank_i div out``, same
+    ``(inflow * d) div 100`` — every quantity an int64 and every
+    division a floor over non-negative values, so the result is
+    bit-identical to the distributed loop by construction (integer
+    sums are order-independent).  Returns [(node, rank_i)] for every
+    node of the edge set; raises like the distributed path when no
+    seed intersects the graph."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([s_arr, d_arr]), return_inverse=True)
+    m = len(s_arr)
+    si, di = inv[:m], inv[m:]
+    n = len(nodes)
+    seed_vals = np.unique(seed_arr)
+    pos = np.searchsorted(nodes, seed_vals)
+    in_range = pos < n
+    pos = pos[in_range]
+    seed_idx = pos[nodes[pos] == seed_vals[in_range]]
+    n_seeds = int(seed_idx.size)
+    if n_seeds < 1:
+        raise ValueError(
+            "personalized pagerank needs a non-empty seed set intersecting the graph"
+        )
+    base_s = (PR_SCALE * (100 - damping_pct)) // (100 * n_seeds)
+    base_i = np.zeros(n, dtype=np.int64)
+    base_i[seed_idx] = base_s
+    out = np.bincount(si, minlength=n).astype(np.int64)
+    rank = np.zeros(n, dtype=np.int64)
+    rank[seed_idx] = PR_SCALE // n_seeds
+    dp = int(damping_pct)
+    for _ in range(iterations):
+        c = rank[si] // out[si]  # out[si] >= 1: si indexes edge sources
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, di, c)
+        rank = base_i + (inflow * dp) // 100
+    return list(zip(nodes.tolist(), rank.tolist()))
+
+
 def temporal_reach(
     edges: DataFrame,
     seeds: DataFrame,
@@ -253,6 +342,41 @@ def temporal_reach(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(ts).alias("t")
     ).distinct().localCheckpoint(eager=True)
+    # r7: adaptive local branch (the kcore/LPA pattern).  Each round
+    # is a pure min-fold over BIGINTs — deterministic and
+    # order-independent — so the in-memory frontier simulation of the
+    # same ``rounds`` returns the identical arrival table without
+    # 3x (join + min agg + localCheckpoint) scheduler rounds.
+    if e.count() <= KCORE_LOCAL_EDGE_LIMIT:
+        tbl = e.toArrow()
+        sd_tbl = seeds.select("node").distinct().toArrow()
+        try:
+            s_arr = _np_col(tbl.column("src"))
+            d_arr = _np_col(tbl.column("dst"))
+            t_arr = _np_col(tbl.column("t"))
+            seed_arr = _np_col(sd_tbl.column("node"))
+        except Exception:
+            s_arr = d_arr = t_arr = seed_arr = None
+        if (
+            s_arr is not None
+            and s_arr.dtype.kind in "iuOU"
+            and d_arr.dtype.kind == s_arr.dtype.kind
+            and t_arr.dtype.kind in "iu"
+            and (seed_arr.dtype.kind == s_arr.dtype.kind or seed_arr.size == 0)
+        ):
+            rows = _treach_local_sim(s_arr, d_arr, t_arr, seed_arr, rounds)
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            node_type = edges.schema[src].dataType
+            schema = StructType(
+                [
+                    StructField("node", node_type),
+                    StructField("first_reach", LongType()),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(rows, schema).select(
+                "node", F.col("first_reach").cast("long").alias("first_reach")
+            )
     arr = seeds.select("node").distinct().select(
         "node", F.lit(0).cast("long").alias("first_reach")
     )
@@ -269,6 +393,40 @@ def temporal_reach(
             .localCheckpoint(eager=True)
         )
     return arr
+
+
+def _treach_local_sim(s_arr, d_arr, t_arr, seed_arr, rounds: int) -> list:
+    """In-memory replay of temporal_reach's frontier loop over a
+    collected DISTINCT (src, dst, t) edge list: per round every edge
+    whose source is reached and whose t >= the source's arrival
+    relaxes its destination with min(t) — the same min-fold as the
+    distributed groupBy, so results are identical (min over int64 is
+    order-independent).  Seeds start at 0 and stay in the output even
+    when absent from the edge set (the distributed union semantics).
+    Returns [(node, first_reach)] for every reached node."""
+    import numpy as np
+
+    seed_vals = np.unique(seed_arr)
+    nodes, inv = np.unique(
+        np.concatenate([s_arr, d_arr, seed_vals]), return_inverse=True
+    )
+    m = len(s_arr)
+    si, di, sdi = inv[:m], inv[m : 2 * m], inv[2 * m :]
+    n = len(nodes)
+    inf = np.iinfo(np.int64).max
+    fr = np.full(n, inf, dtype=np.int64)
+    fr[sdi] = 0
+    t64 = t_arr.astype(np.int64)
+    for _ in range(rounds):
+        reach = fr[si]
+        valid = (reach != inf) & (t64 >= reach)
+        if not valid.any():
+            break  # empty frontier step: further rounds are no-ops
+        upd = fr.copy()
+        np.minimum.at(upd, di[valid], t64[valid])
+        fr = upd
+    reached = np.flatnonzero(fr != inf)
+    return list(zip(nodes[reached].tolist(), fr[reached].tolist()))
 
 
 def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -351,6 +351,92 @@ def test_kcore_distributed_delta_branch_matches_local(spark, monkeypatch):
     assert dist_bounded == local_bounded
 
 
+def test_ppr_local_simulation_matches_distributed(spark, monkeypatch):
+    """r7: pagerank_personalized_exact gained a vectorized local
+    branch (the kcore/LPA pattern; the loop is fixed-point integer
+    algebra, so local == distributed bit-exactly).  Force the
+    distributed loop and pin identical ranks on a graph with a sink
+    cycle, a dangling node, and a multi-seed set."""
+    from arabicner_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (4,), (99,)], "node bigint")  # 99 absent
+
+    local = {
+        (r.node, r.rank_i)
+        for r in graph.pagerank_personalized_exact(e, seeds, iterations=5).collect()
+    }
+    se = spark.createDataFrame(
+        [(f"E{a}", f"E{b}") for a, b in edges], "src string, dst string"
+    )
+    sseeds = spark.createDataFrame([("E1",), ("E4",)], "node string")
+    slocal = {
+        (r.node, r.rank_i)
+        for r in graph.pagerank_personalized_exact(se, sseeds, iterations=5).collect()
+    }
+    monkeypatch.setattr(graph, "KCORE_LOCAL_EDGE_LIMIT", 0)
+    dist = {
+        (r.node, r.rank_i)
+        for r in graph.pagerank_personalized_exact(e, seeds, iterations=5).collect()
+    }
+    assert local == dist
+    # string node ids (the KG's entity ids) take the local branch too
+    sdist = {
+        (r.node, r.rank_i)
+        for r in graph.pagerank_personalized_exact(se, sseeds, iterations=5).collect()
+    }
+    assert slocal == sdist
+
+
+def test_temporal_reach_local_simulation_matches_distributed(spark, monkeypatch):
+    """r7: temporal_reach gained a vectorized local branch.  Force the
+    distributed loop and pin identical arrivals on a graph with dead
+    (time-decreasing) edges, a tie on arrival times, and a seed absent
+    from the edge set (which must stay in the output at 0 — the union
+    semantics)."""
+    from arabicner_spark.operators import graph
+
+    edges = [
+        (1, 2, 10),
+        (2, 3, 5),    # dead: 5 < 10
+        (2, 4, 20),
+        (4, 5, 15),   # dead: 15 < 20
+        (4, 6, 30),
+        (1, 4, 25),   # second path to 4, later than via 2
+        (2, 6, 30),   # tie on node 6's arrival
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, ts_epoch bigint")
+    seeds = spark.createDataFrame([(1,), (77,)], "node bigint")  # 77 not in graph
+
+    local = {
+        (r.node, r.first_reach)
+        for r in graph.temporal_reach(e, seeds, rounds=4).collect()
+    }
+    assert (77, 0) in local
+    se = spark.createDataFrame(
+        [(f"N{a}", f"N{b}", t) for a, b, t in edges],
+        "src string, dst string, ts_epoch bigint",
+    )
+    sseeds = spark.createDataFrame([("N1",)], "node string")
+    slocal = {
+        (r.node, r.first_reach)
+        for r in graph.temporal_reach(se, sseeds, rounds=4).collect()
+    }
+    monkeypatch.setattr(graph, "KCORE_LOCAL_EDGE_LIMIT", 0)
+    dist = {
+        (r.node, r.first_reach)
+        for r in graph.temporal_reach(e, seeds, rounds=4).collect()
+    }
+    assert local == dist
+    # string node ids take the local branch too
+    sdist = {
+        (r.node, r.first_reach)
+        for r in graph.temporal_reach(se, sseeds, rounds=4).collect()
+    }
+    assert slocal == sdist
+
+
 def test_lpa_local_simulation_matches_distributed(spark, monkeypatch):
     """r7: label_propagation gained a vectorized local branch.  Force
     the distributed loop and pin identical labels on a graph with
