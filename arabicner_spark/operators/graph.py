@@ -182,6 +182,13 @@ def pagerank_personalized_exact(
         tbl = e.toArrow()
         sd_tbl = seeds.select("node").distinct().toArrow()
         try:
+            # NULL keys take the distributed loop (SQL null-join
+            # semantics; Python-object sorting would raise on None)
+            if any(
+                c.null_count
+                for c in (tbl.column("src"), tbl.column("dst"), sd_tbl.column("node"))
+            ):
+                raise ValueError("null keys")
             s_arr = _np_col(tbl.column("src"))
             d_arr = _np_col(tbl.column("dst"))
             seed_arr = _np_col(sd_tbl.column("node"))
@@ -351,6 +358,19 @@ def temporal_reach(
         tbl = e.toArrow()
         sd_tbl = seeds.select("node").distinct().toArrow()
         try:
+            # NULL keys/timestamps take the distributed loop (SQL
+            # null-join/comparison semantics; object sorting and the
+            # int64 cast would raise on None)
+            if any(
+                c.null_count
+                for c in (
+                    tbl.column("src"),
+                    tbl.column("dst"),
+                    tbl.column("t"),
+                    sd_tbl.column("node"),
+                )
+            ):
+                raise ValueError("null keys")
             s_arr = _np_col(tbl.column("src"))
             d_arr = _np_col(tbl.column("dst"))
             t_arr = _np_col(tbl.column("t"))

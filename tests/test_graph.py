@@ -437,6 +437,32 @@ def test_temporal_reach_local_simulation_matches_distributed(spark, monkeypatch)
     assert slocal == sdist
 
 
+def test_ppr_and_treach_null_keys_fall_back_to_distributed(spark):
+    """Null src/dst/ts values route to the distributed loop (SQL
+    null-join semantics) instead of crashing the object-array local
+    simulation; the null node rides along with zero rank/unreached."""
+    from arabicner_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [("a", "b"), (None, "b"), ("b", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.rank_i
+        for r in graph.pagerank_personalized_exact(e, seeds, iterations=2).collect()
+    }
+    assert None in got and got[None] == 0 and got["a"] > 0
+
+    te = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", None)], "src string, dst string, ts_epoch bigint"
+    )
+    tr = {
+        r.node: r.first_reach
+        for r in graph.temporal_reach(te, seeds, rounds=3).collect()
+    }
+    assert tr["a"] == 0 and tr["b"] == 5 and "c" not in tr
+
+
 def test_lpa_local_simulation_matches_distributed(spark, monkeypatch):
     """r7: label_propagation gained a vectorized local branch.  Force
     the distributed loop and pin identical labels on a graph with
