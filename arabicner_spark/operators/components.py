@@ -102,8 +102,13 @@ def connected_components_adaptive(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     out = sorted({(x, find(x)) for r in rows for x in (r["a"], r["b"])})
+    # single-slice materialization (the graph.py _one_slice_df
+    # rationale): createDataFrame(list) spreads a dimension-sized
+    # result over defaultParallelism slices — ~cores empty scheduler
+    # tasks per call
     return edges.sparkSession.createDataFrame(
-        out or [("", "")], "node string, component string"
+        edges.sparkSession.sparkContext.parallelize(out or [("", "")], 1),
+        "node string, component string",
     ).where(F.col("node") != "")
 
 
